@@ -1,0 +1,90 @@
+"""Training configuration.
+
+Carries the same semantic knob set as the reference's ``parameter`` class
+(/root/reference/src/pmf.h:8-43) and its CLI (/root/reference/src/extras.cpp:68-141),
+re-expressed for the TPU runtime: the CUDA launch-geometry knobs (nBlocks,
+nThreadsPerBlock) become ELL/block-shape knobs, and the backend toggles
+(-CUDA/-OMP) become ``backend`` / ``golden`` (run the compiled path, the reference
+path, or both with cross-validation).
+
+Reference quirks preserved deliberately:
+  * ``maxinneriter`` defaults to 1 (the code default at src/pmf.h:31, not the help
+    text's claimed 5 at src/extras.cpp:54).
+  * ``eps``, ``do_nmf`` and ``do_predict`` exist but no solver consumes ``eps`` or
+    ``do_nmf`` (they are dead in the reference too); ``do_predict`` only forces
+    ``verbose`` (src/extras.cpp:130-132).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class Solver(str, enum.Enum):
+    CCD = "ccd"
+    ALS = "als"
+
+
+class Backend(str, enum.Enum):
+    #: NumPy loop-faithful golden implementation (the reference-OMP role).
+    REF = "ref"
+    #: Compiled XLA dense-residual path (CCD) — the single-chip flagship.
+    DENSE = "dense"
+    #: Compiled XLA padded-ELL path (general sparse; the only ALS compiled path).
+    ELL = "ell"
+    #: Pick DENSE for CCD when the dense residual fits, else ELL.
+    AUTO = "auto"
+
+
+@dataclasses.dataclass
+class Config:
+    # --- solver semantics (reference parity) ---
+    solver: Solver = Solver.CCD            # -ALS flag flips to ALS
+    k: int = 10                            # -k rank (src/pmf.h:27)
+    maxiter: int = 5                       # -t outer iterations (src/pmf.h:30)
+    maxinneriter: int = 1                  # -T inner iterations (src/pmf.h:31)
+    lambda_: float = 0.1                   # -l regularization (src/pmf.h:33)
+    eps: float = 1e-3                      # -e; parsed but unused (parity)
+    do_predict: bool = False               # -p; forces verbose (parity)
+    verbose: bool = False                  # -q
+    do_nmf: bool = False                   # -N; parsed but unused (parity)
+    threads: int = 4                       # -n; meaningless on TPU, kept for parity
+
+    # --- TPU runtime knobs (replace nBlocks/nThreadsPerBlock) ---
+    backend: Backend = Backend.AUTO
+    golden: bool = False                   # run REF too and golden_compare
+    seed: int = 0                          # factor init seed (reference: srand(0))
+    residual_dtype: str = "float32"        # dense CCD residual dtype ("bfloat16" ok)
+    ell_min_width: int = 8                 # narrowest ELL bucket width (pow2)
+    ell_growth: float = 2.0                # bucket width growth bound (padding <= growth)
+    ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
+    eval_chunk: int = 1 << 20              # test-RMSE gather chunk
+    dense_max_cells: int = 2_000_000_000   # AUTO picks DENSE below this m*n
+
+    # --- io ---
+    data_dir: Optional[str] = None         # positional data_dir (reference CLI)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0              # 0 = off; else every N outer iters
+    metrics_file: Optional[str] = None     # JSONL metrics sink
+
+    def __post_init__(self) -> None:
+        self.solver = Solver(self.solver)
+        self.backend = Backend(self.backend)
+        if self.do_predict:
+            self.verbose = True            # src/extras.cpp:130-132
+        if self.k <= 0:
+            raise ValueError("rank k must be positive")
+        if self.maxiter < 0 or self.maxinneriter <= 0:
+            raise ValueError("iteration counts must be positive")
+        if self.ell_min_width & (self.ell_min_width - 1):
+            raise ValueError("ell_min_width must be a power of two")
+
+    def resolve_backend(self, m: int, n: int) -> Backend:
+        """AUTO resolution: dense residual for CCD when it fits, ELL otherwise."""
+        if self.backend != Backend.AUTO:
+            return self.backend
+        if self.solver == Solver.CCD and m * n <= self.dense_max_cells:
+            return Backend.DENSE
+        return Backend.ELL

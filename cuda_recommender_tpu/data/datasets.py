@@ -1,0 +1,103 @@
+"""Dataset generation and text loaders.
+
+The reference ships no data, only binary loaders for pre-converted MovieLens /
+Netflix / Yahoo dumps (/root/reference/src/tools.cpp:3-85) and a bench sweep over
+them (scripts/times.sh). Since no datasets are bundled here either, this module
+provides (a) reproducible synthetic rating matrices — uniform and power-law
+("zipf") to model the real datasets' degree skew — and (b) a MovieLens-style text
+parser (``user item rating [ts]`` per line) for real data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sparse import RatingMatrix, TestCOO, from_coo, make_test
+
+
+def synthetic(m: int, n: int, nnz: int, *, k_true: int = 8, noise: float = 0.1,
+              test_fraction: float = 0.1, seed: int = 0,
+              power_law: bool = True) -> tuple[RatingMatrix, TestCOO]:
+    """Low-rank-plus-noise rating matrix with optional power-law degrees.
+
+    Ratings come from a rank-``k_true`` ground truth so RMSE convergence curves
+    are meaningful (they should drop well below the rating std).
+    """
+    rng = np.random.default_rng(seed)
+    target = int(nnz / (1.0 - test_fraction)) if test_fraction > 0 else nnz
+    target = min(target, m * n)
+
+    if power_law:
+        # Zipf-ish marginals over users and items, like MovieLens/Netflix.
+        pu = 1.0 / np.arange(1, m + 1) ** 0.8
+        pi = 1.0 / np.arange(1, n + 1) ** 0.9
+        pu /= pu.sum(); pi /= pi.sum()
+        draw = lambda size: (rng.choice(m, size=size, p=pu).astype(np.int64),
+                             rng.choice(n, size=size, p=pi).astype(np.int64))
+    else:
+        draw = lambda size: (rng.integers(0, m, size=size).astype(np.int64),
+                             rng.integers(0, n, size=size).astype(np.int64))
+
+    # draw with dedupe, topping up until the target count is (nearly) reached
+    ui = np.empty(0, np.int64)
+    ii = np.empty(0, np.int64)
+    for _ in range(8):
+        missing = target - ui.shape[0]
+        if missing <= 0:
+            break
+        du, di = draw(int(missing * 1.5) + 16)
+        ui = np.concatenate([ui, du])
+        ii = np.concatenate([ii, di])
+        key = ui * n + ii
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        ui, ii = ui[first], ii[first]
+    ui, ii = ui[:target], ii[:target]
+    total = ui.shape[0]
+
+    W = rng.normal(0, 1.0 / np.sqrt(k_true), size=(m, k_true)).astype(np.float32)
+    H = rng.normal(0, 1.0 / np.sqrt(k_true), size=(n, k_true)).astype(np.float32)
+    vals = np.einsum("ek,ek->e", W[ui], H[ii]) + 3.5
+    vals += rng.normal(0, noise, size=total)
+    vals = vals.astype(np.float32)
+
+    perm = rng.permutation(total)
+    n_test = int(total * test_fraction)
+    te, tr = perm[:n_test], perm[n_test:]
+
+    R = from_coo(m, n, ui[tr], ii[tr], vals[tr])
+    T = make_test(m, n, ui[te], ii[te], vals[te])
+    return R, T
+
+
+def parse_synthetic_spec(spec: str) -> dict:
+    """Parse 'synthetic:m=1000,n=200,nnz=20000,seed=0' CLI dataset specs."""
+    out: dict = {}
+    body = spec.split(":", 1)[1] if ":" in spec else ""
+    for part in filter(None, body.split(",")):
+        key, val = part.split("=")
+        out[key] = float(val) if "." in val else int(val)
+    return out
+
+
+def load_text_ratings(path: str, *, one_based: bool = True) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse 'user item rating [...]' text lines (MovieLens ML-style, also the
+    reference's text test-file format at src/pmf_util.h:155-168)."""
+    data = np.loadtxt(path, usecols=(0, 1, 2), dtype=np.float64, ndmin=2)
+    r = data[:, 0].astype(np.int64)
+    c = data[:, 1].astype(np.int64)
+    if one_based:
+        r -= 1
+        c -= 1
+    return r, c, data[:, 2].astype(np.float32)
+
+
+def train_test_split_coo(rows: int, cols: int, r, c, v, *, test_fraction: float = 0.1,
+                         seed: int = 0) -> tuple[RatingMatrix, TestCOO]:
+    rng = np.random.default_rng(seed)
+    n_total = len(v)
+    perm = rng.permutation(n_total)
+    n_test = int(n_total * test_fraction)
+    te, tr = perm[:n_test], perm[n_test:]
+    return (from_coo(rows, cols, r[tr], c[tr], v[tr]),
+            make_test(rows, cols, r[te], c[te], v[te]))

@@ -1,0 +1,242 @@
+"""Degree-bucketed, lane-packed padded-ELL layout (TPU-native sparse format).
+
+This replaces the reference's pointer-chased CSR/CSC walks
+(/root/reference/src/CCD.cpp:9-13, cuda_src/CCD_CUDA.cu:14-18) with a fixed-shape
+layout designed around measured TPU behavior (see ARCHITECTURE.md):
+
+* **Degree buckets**: entities (rows or columns) are grouped by power-of-two
+  padded width, bounding padding waste at <2x even for power-law degree
+  distributions.
+* **Lane packing**: a bucket of width E < 128 packs ``p = 128/E`` entities per
+  physical 128-lane row, so HBM tiles (minor dim padded to 128 by XLA) are always
+  fully utilized.
+* **Slot-space permutation**: entities are renamed to "slots" (bucket-major,
+  contiguous). Factors live in slot space during training, so per-bucket results
+  concatenate — the hot loops contain zero scatters.
+* **Zero-slot trick**: index padding points at a dedicated trailing slot of the
+  *other* side whose gathered value is always 0 (tables are extended by one zero
+  element at gather time), so no mask arrays are ever read: padded entries
+  contribute exactly 0 to numerators, denominators, grams, and residual updates.
+* **Shard-uniform layout**: with ``num_shards = N``, every bucket (and the empty
+  tail) is dealt round-robin across shards and padded so all shards have identical
+  shapes; global slot order is shard-major, so a device's slots are one contiguous
+  block and ``all_gather`` reassembles the global table as a plain concat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from .sparse import RatingMatrix
+
+LANE = 128
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+@dataclasses.dataclass(frozen=True)
+class EllBucket:
+    """One degree bucket of one orientation.
+
+    Arrays are shaped (num_shards * rows_per_shard, L) with L = max(E, 128);
+    shard ``s`` owns physical rows [s*rows_per_shard, (s+1)*rows_per_shard).
+    Physical row r holds ``p`` consecutive slots, slot j in lanes
+    [ (j%p)*E, (j%p+1)*E ).
+    """
+
+    E: int                 # logical width (power of two)
+    p: int                 # slots per physical row = max(1, 128 // E)
+    rows_per_shard: int
+    slots_per_shard: int   # rows_per_shard * p
+    idx: np.ndarray        # (rows, L) int32 — other-side slot ids (pad -> zero slot)
+    val: np.ndarray        # (rows, L) float32 — ratings (pad -> 0)
+
+    @property
+    def L(self) -> int:
+        return int(self.idx.shape[1])
+
+    @property
+    def rows(self) -> int:
+        return int(self.idx.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class EllSide:
+    """One orientation (e.g. columns/CSC for the CCD v-sweep)."""
+
+    n_entities: int
+    num_shards: int
+    slots_per_shard: int          # uniform across shards (buckets + empty tail)
+    buckets: tuple[EllBucket, ...]
+    # per-shard slot offset of each bucket (same for every shard):
+    bucket_offsets: tuple[int, ...]
+    slot_of_entity: np.ndarray    # (n_entities,) int32 — global slot id
+    entity_of_slot: np.ndarray    # (n_slots,) int32 — -1 for padding slots
+    slot_nnz: np.ndarray          # (n_slots,) float32 — true degree per slot
+    other_zero_slot: int          # index of the other side's zero slot (= its n_slots)
+
+    @property
+    def n_slots(self) -> int:
+        return self.num_shards * self.slots_per_shard
+
+    @property
+    def nnz_padded(self) -> int:
+        return sum(b.idx.size for b in self.buckets)
+
+    def spread(self, x: np.ndarray, fill: float = 0.0) -> np.ndarray:
+        """Map per-entity values (n_entities,) into slot space (n_slots,)."""
+        out = np.full(self.n_slots, fill, dtype=np.asarray(x).dtype)
+        out[self.slot_of_entity] = x
+        return out
+
+    def collect(self, x_slots: np.ndarray) -> np.ndarray:
+        """Map slot-space values back to entity order."""
+        return np.asarray(x_slots)[self.slot_of_entity]
+
+
+@dataclasses.dataclass(frozen=True)
+class EllPair:
+    """Both orientations of one rating matrix, mutually slot-indexed."""
+
+    rows_side: EllSide   # slots = row entities; idx references col slots (CSR order)
+    cols_side: EllSide   # slots = col entities; idx references row slots (CSC order)
+    n_rows: int
+    n_cols: int
+    nnz: int
+
+
+def _plan_buckets(degrees: np.ndarray, min_width: int):
+    """Group entity ids by power-of-two padded width. Returns list of
+    (E, entity_ids sorted by degree desc), widest first, plus empty ids."""
+    deg = np.asarray(degrees, dtype=np.int64)
+    nonempty = np.where(deg > 0)[0]
+    empty = np.where(deg == 0)[0]
+    widths = np.maximum(min_width, 1 << np.ceil(np.log2(np.maximum(deg[nonempty], 1))).astype(np.int64))
+    plan = []
+    for E in sorted(set(widths.tolist()), reverse=True):
+        ids = nonempty[widths == E]
+        ids = ids[np.argsort(-deg[ids], kind="stable")]
+        plan.append((int(E), ids))
+    return plan, empty
+
+
+def _build_side(ptr: np.ndarray, n_entities: int, *, min_width: int,
+                num_shards: int) -> tuple[EllSide, list[list[np.ndarray]]]:
+    """First pass: slot assignment + bucket geometry. Returns the side with
+    placeholder idx/val plus, per bucket, the per-slot raw entity ids (for the
+    fill pass)."""
+    deg = np.diff(ptr).astype(np.int64)
+    plan, empty = _plan_buckets(deg, min_width)
+
+    buckets_meta = []   # (E, p, rows_per_shard, per-shard entity grid (num_shards, slots_ps))
+    for E, ids in plan:
+        p = max(1, LANE // E)
+        # deal round-robin: shard s gets ids[s::num_shards] (degree-balanced)
+        per_shard = [ids[s::num_shards] for s in range(num_shards)]
+        slots_ps = max(len(x) for x in per_shard)
+        slots_ps = p * math.ceil(slots_ps / p)            # pad to whole rows
+        grid = np.full((num_shards, slots_ps), -1, dtype=np.int64)
+        for s, x in enumerate(per_shard):
+            grid[s, : len(x)] = x
+        buckets_meta.append((E, p, slots_ps // p, grid))
+
+    # empty tail: entities with no ratings still need slots (factor rows)
+    empty_per_shard = [empty[s::num_shards] for s in range(num_shards)]
+    empty_ps = max((len(x) for x in empty_per_shard), default=0)
+    empty_grid = np.full((num_shards, empty_ps), -1, dtype=np.int64)
+    for s, x in enumerate(empty_per_shard):
+        empty_grid[s, : len(x)] = x
+
+    slots_per_shard = sum(m[2] * m[1] for m in buckets_meta) + empty_ps
+    n_slots = num_shards * slots_per_shard
+
+    slot_of_entity = np.full(n_entities, -1, dtype=np.int32)
+    entity_of_slot = np.full(n_slots, -1, dtype=np.int32)
+    slot_nnz = np.zeros(n_slots, dtype=np.float32)
+
+    bucket_offsets = []
+    off = 0
+    for E, p, rows_ps, grid in buckets_meta:
+        bucket_offsets.append(off)
+        slots_ps = rows_ps * p
+        for s in range(num_shards):
+            base = s * slots_per_shard + off
+            ids = grid[s]
+            valid = ids >= 0
+            gslots = base + np.arange(slots_ps)
+            entity_of_slot[gslots[valid]] = ids[valid]
+            slot_of_entity[ids[valid]] = gslots[valid].astype(np.int32)
+            slot_nnz[gslots[valid]] = deg[ids[valid]]
+        off += slots_ps
+    # empty tail
+    for s in range(num_shards):
+        base = s * slots_per_shard + off
+        ids = empty_grid[s]
+        valid = ids >= 0
+        gslots = base + np.arange(empty_ps)
+        if empty_ps:
+            entity_of_slot[gslots[valid]] = ids[valid]
+            slot_of_entity[ids[valid]] = gslots[valid].astype(np.int32)
+
+    buckets = []
+    fill_grids = []
+    for (E, p, rows_ps, grid), boff in zip(buckets_meta, bucket_offsets):
+        L = max(E, LANE)
+        rows = num_shards * rows_ps
+        buckets.append(EllBucket(
+            E=E, p=p, rows_per_shard=rows_ps, slots_per_shard=rows_ps * p,
+            idx=np.zeros((rows, L), dtype=np.int32),
+            val=np.zeros((rows, L), dtype=np.float32),
+        ))
+        fill_grids.append(grid)
+
+    side = EllSide(
+        n_entities=n_entities, num_shards=num_shards,
+        slots_per_shard=slots_per_shard, buckets=tuple(buckets),
+        bucket_offsets=tuple(bucket_offsets),
+        slot_of_entity=slot_of_entity, entity_of_slot=entity_of_slot,
+        slot_nnz=slot_nnz, other_zero_slot=-1,  # patched in build_ell_pair
+    )
+    return side, fill_grids
+
+
+def _fill_side(side: EllSide, fill_grids, ptr, nbr_idx, nbr_val,
+               other_slot_of_entity: np.ndarray, other_zero_slot: int) -> EllSide:
+    """Second pass: write idx (other-side slot ids) and val into bucket arrays."""
+    for b, grid in zip(side.buckets, fill_grids):
+        b.idx.fill(other_zero_slot)
+        b.val.fill(0.0)
+        E, p = b.E, b.p
+        num_shards = side.num_shards
+        for s in range(num_shards):
+            ids = grid[s]
+            for j, e in enumerate(ids):
+                if e < 0:
+                    continue
+                lo, hi = int(ptr[e]), int(ptr[e + 1])
+                d = hi - lo
+                r = s * b.rows_per_shard + j // p
+                c0 = (j % p) * E
+                b.idx[r, c0:c0 + d] = other_slot_of_entity[nbr_idx[lo:hi]]
+                b.val[r, c0:c0 + d] = nbr_val[lo:hi]
+    return dataclasses.replace(side, other_zero_slot=other_zero_slot)
+
+
+def build_ell_pair(R: RatingMatrix, *, min_width: int = 8,
+                   num_shards: int = 1) -> EllPair:
+    """Build both orientations with mutual slot indexing."""
+    rows_side, rows_grids = _build_side(R.csr_ptr, R.rows,
+                                        min_width=min_width, num_shards=num_shards)
+    cols_side, cols_grids = _build_side(R.csc_ptr, R.cols,
+                                        min_width=min_width, num_shards=num_shards)
+    rows_side = _fill_side(rows_side, rows_grids, R.csr_ptr, R.csr_idx, R.csr_val,
+                           cols_side.slot_of_entity, cols_side.n_slots)
+    cols_side = _fill_side(cols_side, cols_grids, R.csc_ptr, R.csc_idx, R.csc_val,
+                           rows_side.slot_of_entity, rows_side.n_slots)
+    return EllPair(rows_side=rows_side, cols_side=cols_side,
+                   n_rows=R.rows, n_cols=R.cols, nnz=R.nnz)

@@ -1,0 +1,113 @@
+"""Data-layer tests: COO/CSR/CSC containers and the ELL layout invariants."""
+
+import numpy as np
+import pytest
+
+from cuda_recommender_tpu.data import datasets
+from cuda_recommender_tpu.data.ell import build_ell_pair
+from cuda_recommender_tpu.data.sparse import from_coo
+
+
+def test_from_coo_roundtrip():
+    r = [0, 2, 1, 2, 0]
+    c = [1, 0, 3, 2, 0]
+    v = [1.0, 2.0, 3.0, 4.0, 5.0]
+    R = from_coo(3, 4, r, c, v)
+    dense = np.zeros((3, 4), np.float32)
+    dense[r, c] = v
+    np.testing.assert_array_equal(R.to_dense(), dense)
+    # transpose view
+    np.testing.assert_array_equal(R.transpose().to_dense(), dense.T)
+    assert R.nnz == 5
+    assert R.max_row_nnz == 2
+    np.testing.assert_array_equal(R.col_nnz, [2, 1, 1, 1])
+
+
+def test_from_coo_sorted_ptrs(small_data):
+    R, T = small_data
+    assert R.csr_ptr[0] == 0 and R.csr_ptr[-1] == R.nnz
+    assert R.csc_ptr[0] == 0 and R.csc_ptr[-1] == R.nnz
+    # csr rows sorted
+    rows = np.repeat(np.arange(R.rows), np.diff(R.csr_ptr))
+    assert (np.diff(rows) >= 0).all()
+
+
+@pytest.mark.parametrize("num_shards", [1, 4])
+def test_ell_pair_reconstructs_matrix(small_data, num_shards):
+    R, _ = small_data
+    pair = build_ell_pair(R, num_shards=num_shards)
+    dense = R.to_dense()
+
+    for side, other, ax_dense in ((pair.cols_side, pair.rows_side, dense.T),
+                                  (pair.rows_side, pair.cols_side, dense)):
+        assert side.other_zero_slot == other.n_slots
+        # every entity has a slot; maps are inverse
+        assert (side.slot_of_entity >= 0).all()
+        ent = side.entity_of_slot
+        valid = ent >= 0
+        np.testing.assert_array_equal(
+            side.slot_of_entity[ent[valid]], np.where(valid)[0])
+        # per-slot nnz matches degrees
+        deg = (ax_dense != 0).sum(axis=1)
+        np.testing.assert_array_equal(side.slot_nnz[side.slot_of_entity], deg)
+
+        # reconstruct the dense matrix from buckets
+        rec = np.zeros_like(ax_dense)
+        other_entity_of_slot = other.entity_of_slot
+        for b, boff in zip(side.buckets, side.bucket_offsets):
+            for rr in range(b.rows):
+                shard = rr // b.rows_per_shard
+                local_r = rr % b.rows_per_shard
+                for j in range(b.p):
+                    slot = (shard * side.slots_per_shard + boff
+                            + local_r * b.p + j)
+                    e = side.entity_of_slot[slot]
+                    seg_idx = b.idx[rr, j * b.E:(j + 1) * b.E]
+                    seg_val = b.val[rr, j * b.E:(j + 1) * b.E]
+                    real = seg_idx != side.other_zero_slot
+                    if e < 0:
+                        assert not real.any()
+                        continue
+                    oe = other_entity_of_slot[seg_idx[real]]
+                    rec[e, oe] += seg_val[real]
+                    # padding vals are zero
+                    assert (seg_val[~real] == 0).all()
+        np.testing.assert_allclose(rec, ax_dense, rtol=1e-6)
+
+
+def test_ell_shard_uniformity(small_data):
+    R, _ = small_data
+    pair = build_ell_pair(R, num_shards=4)
+    for side in (pair.rows_side, pair.cols_side):
+        assert side.n_slots == 4 * side.slots_per_shard
+        for b in side.buckets:
+            assert b.rows == 4 * b.rows_per_shard
+            assert b.idx.shape == b.val.shape
+            assert b.idx.shape[1] == max(b.E, 128)
+            assert b.E * b.p == min(b.E * b.p, 128) or b.p == 1
+
+
+def test_ell_padding_bounded(small_data):
+    R, _ = small_data
+    pair = build_ell_pair(R)
+    for side in (pair.rows_side, pair.cols_side):
+        # pow2 bucketing: padded nnz < 2x true nnz + lane-packing slack
+        slack = sum(b.p * b.E for b in side.buckets) * 8  # row-padding bound
+        assert side.nnz_padded <= 2 * pair.nnz + slack
+
+
+def test_synthetic_shapes():
+    R, T = datasets.synthetic(m=100, n=50, nnz=1000, seed=1)
+    assert R.rows == 100 and R.cols == 50
+    assert T.nnz > 0
+    assert R.nnz >= 800  # dedupe may drop a few, test split took 10%
+    assert 1.0 < R.csr_val.mean() < 6.0
+
+
+def test_spread_collect(small_data):
+    R, _ = small_data
+    pair = build_ell_pair(R)
+    side = pair.cols_side
+    x = np.arange(side.n_entities, dtype=np.float32)
+    xs = side.spread(x)
+    np.testing.assert_array_equal(side.collect(xs), x)
