@@ -88,6 +88,23 @@ class EllSide:
     def nnz_padded(self) -> int:
         return sum(b.idx.size for b in self.buckets)
 
+    def local_view(self) -> "EllSide":
+        """Single-shard geometry view describing ONE shard's local block (what
+        a shard_map body sees): bucket arrays sliced to shard 0, slot counts
+        per-shard. Bucket offsets are already per-shard. Used only for its
+        geometry by ops/ell_ops — the actual sharded arrays are passed to the
+        kernel separately."""
+        bks = tuple(
+            EllBucket(E=b.E, p=b.p, rows_per_shard=b.rows_per_shard,
+                      slots_per_shard=b.slots_per_shard,
+                      idx=b.idx[:b.rows_per_shard],
+                      val=b.val[:b.rows_per_shard])
+            for b in self.buckets)
+        return dataclasses.replace(
+            self, num_shards=1, buckets=bks,
+            entity_of_slot=self.entity_of_slot[:self.slots_per_shard],
+            slot_nnz=self.slot_nnz[:self.slots_per_shard])
+
     def spread(self, x: np.ndarray, fill: float = 0.0) -> np.ndarray:
         """Map per-entity values (n_entities,) into slot space (n_slots,)."""
         out = np.full(self.n_slots, fill, dtype=np.asarray(x).dtype)

@@ -109,13 +109,17 @@ class GoldenResult:
                 % (self.error_percentage, self.error_count, self.total))
 
 
-def golden_compare(A, A_ref, *, rtol: float = GOLDEN_RTOL) -> GoldenResult:
+def golden_compare(A, A_ref, *, rtol: float = GOLDEN_RTOL,
+                   atol: float = 0.0) -> GoldenResult:
     """Entry-wise |a - a_ref| > rtol*|a_ref| count (golden_compare,
-    src/extras.cpp:218-238)."""
+    src/extras.cpp:218-238). ``atol`` (not in the reference, default 0 for
+    exact parity) absorbs near-zero entries where a pure relative bar flags
+    sub-1e-4 rounding differences between equivalent solvers (e.g. Cholesky
+    vs LU)."""
     A = np.asarray(A, dtype=np.float64)
     A_ref = np.asarray(A_ref, dtype=np.float64)
     if A.shape != A_ref.shape:
         raise ValueError(f"shape mismatch {A.shape} vs {A_ref.shape}")
-    bad = np.abs(A - A_ref) > rtol * np.abs(A_ref)
+    bad = np.abs(A - A_ref) > rtol * np.abs(A_ref) + atol
     return GoldenResult(passed=not bad.any(), error_count=int(bad.sum()),
                         total=int(A.size))

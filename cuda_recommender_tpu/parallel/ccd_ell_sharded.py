@@ -1,0 +1,155 @@
+"""CCD++ ELL backend, sharded over a 1-D device mesh with shard_map.
+
+Decomposition (new design — the reference has no multi-device story,
+SURVEY.md §2): both ELL orientations are built with ``num_shards = N`` so
+every bucket's physical rows are dealt round-robin across devices
+(degree-balanced) and padded shard-uniform; global slot order is shard-major,
+so each device's factor slots are one contiguous block and
+``jax.lax.all_gather(..., tiled=True)`` reassembles the global table as a
+plain concat. Per rank sweep:
+
+  * the swept side's updates are local to each shard (its slot block);
+  * the opposite-side vector is all-gathered over ICI (the only communication,
+    2-3 gathers of (n_slots,) floats per rank);
+  * residual bucket tiles are updated locally — never communicated.
+
+The per-shard kernel body is byte-identical math to the single-device solver
+(solvers/ccd_ell.py), reusing ops/ell_ops on each side's ``local_view()``.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import Config
+from ..data.ell import EllPair, build_ell_pair
+from ..data.sparse import RatingMatrix, TestCOO
+from ..eval.metrics import calrmse_device
+from ..ops.ell_ops import extend_zero, residual_update, sweep_new_values
+from ..solvers.reference import IterStats
+from .mesh import AXIS, ell_shardings
+
+
+def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
+                          maxinneriter: int, add_back: bool, axis: str = AXIS):
+    rows, cols = ell.rows_side.local_view(), ell.cols_side.local_view()
+    lam_ = jnp.float32(lam)
+
+    def gather_full(x_loc):
+        """Local slot block -> global slot table (+ trailing zero slot)."""
+        return extend_zero(jax.lax.all_gather(x_loc, axis, axis=0, tiled=True))
+
+    def step_local(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
+        def rank_body(t, carry):
+            vals_r, vals_c, W, H = carry
+            u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]   # local slots
+            v_old = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
+            u, v = u_old, v_old
+            for i in range(maxinneriter):
+                u_ext = gather_full(u)
+                if i == 0 and add_back:
+                    ug = [u_ext[ix] for ix in idx_c]
+                    vals_c = residual_update(idx_c, vals_c, cols, u_ext, v_old,
+                                             +1.0, gathered=ug)
+                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
+                                            nnz_c, gathered=ug)
+                else:
+                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
+                                            nnz_c)
+                if i == 0 and add_back:
+                    stacked = extend_zero(jax.lax.all_gather(
+                        jnp.stack([v_old, v], axis=-1), axis, axis=0, tiled=True))
+                    G = [stacked[ix] for ix in idx_r]
+                    vals_r = residual_update(idx_r, vals_r, rows, None, u_old,
+                                             +1.0, gathered=[g[..., 0] for g in G])
+                    u, vg = sweep_new_values(idx_r, vals_r, rows, None, lam_,
+                                             nnz_r, gathered=[g[..., 1] for g in G])
+                else:
+                    u, vg = sweep_new_values(idx_r, vals_r, rows,
+                                             gather_full(v), lam_, nnz_r)
+            W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
+            H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
+            vals_r = residual_update(idx_r, vals_r, rows, None, u, -1.0,
+                                     gathered=vg)
+            vals_c = residual_update(idx_c, vals_c, cols, gather_full(u), v,
+                                     -1.0)
+            return (vals_r, vals_c, W, H)
+
+        k = W.shape[0]
+        return jax.lax.fori_loop(0, k, rank_body, (vals_r, vals_c, W, H))
+
+    nb_r = len(rows.buckets)
+    nb_c = len(cols.buckets)
+    bspec = P(axis, None)
+    in_specs = (tuple([bspec] * nb_r), tuple([bspec] * nb_c),
+                tuple([bspec] * nb_r), tuple([bspec] * nb_c),
+                P(None, axis), P(None, axis), P(axis), P(axis))
+    out_specs = (tuple([bspec] * nb_r), tuple([bspec] * nb_c),
+                 P(None, axis), P(None, axis))
+    fn = jax.shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(fn, donate_argnums=(2, 3, 4, 5))
+
+
+def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
+                          T: TestCOO, cfg: Config, mesh: Mesh, *,
+                          callback: Optional[Callable[[IterStats], None]] = None,
+                          ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
+    """Multi-device CCD++ training. Factors/stats returned in reference
+    rank-major entity order; numerically equivalent to the single-device ELL
+    backend (validated by tests/test_sharded.py on an 8-device CPU mesh)."""
+    n_dev = mesh.devices.size
+    ell = build_ell_pair(R, min_width=cfg.ell_min_width, num_shards=n_dev)
+    rows, cols = ell.rows_side, ell.cols_side
+    sh = ell_shardings(mesh)
+
+    put_b = functools.partial(jax.device_put, device=sh["bucket"])
+    idx_r = tuple(put_b(b.idx) for b in rows.buckets)
+    idx_c = tuple(put_b(b.idx) for b in cols.buckets)
+    vals_r = tuple(put_b(b.val) for b in rows.buckets)
+    vals_c = tuple(put_b(b.val) for b in cols.buckets)
+
+    W_s = np.zeros((W0.shape[0], rows.n_slots), np.float32)
+    W_s[:, rows.slot_of_entity] = np.asarray(W0, np.float32)
+    W = jax.device_put(W_s, sh["factors_rank_major"])
+    H = jax.device_put(np.zeros((H0.shape[0], cols.n_slots), np.float32),
+                       sh["factors_rank_major"])      # src/CCD.cpp:56-60
+    nnz_r = jax.device_put(rows.slot_nnz, sh["slots"])
+    nnz_c = jax.device_put(cols.slot_nnz, sh["slots"])
+
+    rep = sh["rep"]
+    ti = jax.device_put(rows.slot_of_entity[T.row_idx], rep)
+    tj = jax.device_put(cols.slot_of_entity[T.col_idx], rep)
+    tv = jax.device_put(np.asarray(T.val), rep)
+
+    step_first = make_sharded_ell_step(ell, mesh, cfg.lambda_,
+                                       cfg.maxinneriter, False)
+    step_rest = make_sharded_ell_step(ell, mesh, cfg.lambda_,
+                                      cfg.maxinneriter, True)
+    rmse_fn = jax.jit(functools.partial(
+        calrmse_device, entity_major=False,
+        chunk=min(cfg.eval_chunk, 1 << max(10, (max(1, T.nnz) - 1).bit_length()))))
+
+    stats: list[IterStats] = []
+    for oiter in range(1, cfg.maxiter + 1):
+        t0 = time.perf_counter()
+        step = step_first if oiter == 1 else step_rest
+        vals_r, vals_c, W, H = step(idx_r, idx_c, vals_r, vals_c, W, H,
+                                    nnz_r, nnz_c)
+        rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
+        st = IterStats(oiter=oiter, rmse=rmse,
+                       rank_time=time.perf_counter() - t0)
+        stats.append(st)
+        if callback:
+            callback(st)
+
+    W_ent = np.asarray(W)[:, rows.slot_of_entity]
+    H_ent = np.asarray(H)[:, cols.slot_of_entity]
+    return W_ent, H_ent, stats

@@ -1,0 +1,169 @@
+"""ALS — compiled padded-ELL backend (XLA; gram assembly on the MXU).
+
+TPU-native counterpart of the reference's ALS paths
+(/root/reference/src/ALS.cpp:81-233, cuda_src/ALS_CUDA.cu:65-180). The
+reference gives each user/item one CUDA thread that builds a k×k gram from
+CSR-gathered factor rows and inverts it with an in-thread Cholesky; here each
+degree bucket gathers other-side factor ROWS (the fast gather mode on TPU,
+~0.3 G rows/s regardless of width — ARCHITECTURE.md) and assembles every
+slot's gram and right-hand side with batched einsums on the MXU, then solves
+all k×k systems with one batched Cholesky + two triangular solves — a solve,
+not the reference's explicit inverse (src/ALS.cpp:41-64): same math, better
+numerics.
+
+Semantics preserved (SURVEY.md §7): λ added UNscaled to the gram diagonal
+(src/ALS.cpp:121); empty entities get zero factors (src/ALS.cpp:151-157);
+the H update within an iteration uses the NEW W (Gauss-Seidel across sides,
+Jacobi within a side — src/ALS.cpp:98-219); entity-major (n, k) layout
+(src/main.cpp:87-91).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..data.ell import EllPair, EllSide, build_ell_pair
+from ..data.sparse import RatingMatrix, TestCOO
+from ..eval.metrics import calrmse_device
+from ..ops.ell_ops import extend_zero
+from .reference import IterStats
+
+
+def _gram_and_rhs(idx, val, other_ext, b, chunk: int):
+    """Per-slot gram G (S, k, k) and rhs r (S, k) for one bucket.
+
+    Padded lanes gather the zero row, contributing exactly 0 to both. Buckets
+    with p == 1 (width E > 128) stream the lane axis in ``chunk``-wide slabs
+    under lax.scan so VMEM pressure stays bounded for power-law head entities.
+    """
+    k = other_ext.shape[1]
+    rows, L = idx.shape
+    S = rows * b.p
+
+    def accumulate(idx2, val2):
+        F = other_ext[idx2]                       # (S, E', k) row gather
+        # HIGHEST precision: the default TPU matmul precision feeds the MXU
+        # bf16 inputs, which drifts ~0.4% per solve — enough to fail the
+        # reference's 10% golden bar after a few Gauss-Seidel iterations on
+        # near-zero factor entries. Gram assembly must be true f32.
+        G = jnp.einsum("sek,sel->skl", F, F, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        r = jnp.einsum("sek,se->sk", F, val2, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return G, r
+
+    if L <= chunk or b.p > 1:
+        return accumulate(idx.reshape(S, b.E), val.reshape(S, b.E))
+
+    nC = L // chunk
+    idx_s = idx.reshape(rows, nC, chunk).transpose(1, 0, 2)
+    val_s = val.reshape(rows, nC, chunk).transpose(1, 0, 2)
+
+    def body(carry, sl):
+        G, r = carry
+        dG, dr = accumulate(sl[0], sl[1])
+        return (G + dG, r + dr), None
+
+    (G, r), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((S, k, k), jnp.float32), jnp.zeros((S, k), jnp.float32)),
+        (idx_s, val_s))
+    return G, r
+
+
+def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
+                slot_nnz, chunk: int):
+    """One ALS half-iteration over a side: x_j = (F_Ω^T F_Ω + λI)^{-1} F_Ω^T r
+    for every slot, returning (n_slots, k) new factors."""
+    k = other_ext.shape[1]
+    eye = jnp.eye(k, dtype=jnp.float32)
+    outs = []
+    for i, b in enumerate(side.buckets):
+        G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk)
+        A = G + lam * eye                          # λ unscaled, src/ALS.cpp:121
+        C = jnp.linalg.cholesky(A)
+        y = jax.scipy.linalg.solve_triangular(C, r[..., None], lower=True)
+        x = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(C, -1, -2), y, lower=False)[..., 0]
+        outs.append(x)
+    if not side.buckets:
+        return jnp.zeros((side.n_slots, k), jnp.float32)
+    used = side.bucket_offsets[-1] + side.buckets[-1].slots_per_shard
+    tail = side.n_slots - used
+    new = jnp.concatenate(
+        outs + ([jnp.zeros((tail, k), jnp.float32)] if tail else []))
+    # empty/padding slots -> exact zeros (src/ALS.cpp:151-157), also guards
+    # the λ=0 singular-gram case from NaN-poisoning the factor table.
+    return jnp.where((slot_nnz > 0)[:, None], new, 0.0)
+
+
+def make_als_outer_step(ell: EllPair, lam: float, chunk: int):
+    rows, cols = ell.rows_side, ell.cols_side
+    lam_ = jnp.float32(lam)
+
+    def step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
+        W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r, chunk)
+        H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c, chunk)
+        return W, H
+
+    return jax.jit(step, donate_argnums=(4, 5))
+
+
+def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
+                  T: TestCOO, cfg: Config, *,
+                  callback: Optional[Callable[[IterStats], None]] = None,
+                  ell: Optional[EllPair] = None,
+                  ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
+    """Train ALS on the ELL backend (single device). W0 (m, k), H0 (n, k)
+    entity-major; returns factors in the same layout/order."""
+    if ell is None:
+        ell = build_ell_pair(R, min_width=cfg.ell_min_width, num_shards=1)
+    rows, cols = ell.rows_side, ell.cols_side
+    k = W0.shape[1]
+
+    idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
+    idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
+    vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
+    vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
+
+    W_s = np.zeros((rows.n_slots, k), np.float32)
+    W_s[rows.slot_of_entity] = np.asarray(W0, np.float32)
+    H_s = np.zeros((cols.n_slots, k), np.float32)
+    H_s[cols.slot_of_entity] = np.asarray(H0, np.float32)
+    W, H = jnp.asarray(W_s), jnp.asarray(H_s)
+    nnz_r = jnp.asarray(rows.slot_nnz)
+    nnz_c = jnp.asarray(cols.slot_nnz)
+
+    ti = jnp.asarray(rows.slot_of_entity[T.row_idx])
+    tj = jnp.asarray(cols.slot_of_entity[T.col_idx])
+    tv = jnp.asarray(T.val)
+
+    step = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk)
+    rmse_fn = jax.jit(functools.partial(
+        calrmse_device, entity_major=True,
+        chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
+
+    stats: list[IterStats] = []
+    for oiter in range(1, cfg.maxiter + 1):
+        t0 = time.perf_counter()
+        W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
+        rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
+        dt = time.perf_counter() - t0
+        st = IterStats(oiter=oiter, rmse=rmse, rank_time=dt)
+        stats.append(st)
+        if callback:
+            callback(st)
+
+    return (np.asarray(W)[rows.slot_of_entity],
+            np.asarray(H)[cols.slot_of_entity], stats)
+
+
+def _pow2_ge(x: int) -> int:
+    return 1 << max(10, (max(1, int(x)) - 1).bit_length())

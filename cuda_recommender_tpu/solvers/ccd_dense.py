@@ -1,0 +1,181 @@
+"""CCD++ — compiled dense-residual backend (XLA, single chip or pjit-sharded).
+
+This is the TPU-native re-design of the reference's CUDA CCD++ path
+(/root/reference/cuda_src/CCD_CUDA.cu:224-451). The reference walks CSC pointer
+chains with one thread per column; on TPU that formulation is issue-bound
+~50-100x below speed-of-light (see ARCHITECTURE.md). Instead the residual is a
+dense (m, n) array maintained only at observed entries (zero elsewhere) with a
+{0,1} mask, and every sweep becomes a matvec pair — pure HBM-bandwidth-bound
+work that XLA tiles onto the MXU/VPU:
+
+    per rank t (inside one jitted outer iteration, lax.fori_loop over ranks —
+    no per-rank host dispatch, unlike the reference's 2*k*T device syncs per
+    outer iteration at cuda_src/CCD_CUDA.cu:218):
+      if oiter > 1:  Rhat += outer(u, v) * mask        # add-back, src/CCD.cpp:100-103
+      repeat maxinneriter times:                        # src/CCD.cpp:107-123
+        v = (u @ Rhat) / (lam*col_nnz + (u*u) @ mask)   # v-sweep first
+        u = (Rhat @ v) / (lam*row_nnz + mask @ (v*v))
+      Rhat -= outer(u, v) * mask
+
+Semantics preserved from the reference (SURVEY.md §7 checklist): H zeroed at
+solver entry (src/CCD.cpp:56-60); add-back only from outer iteration 2; λ
+scaled by the entity's nnz (src/CCD.cpp:112,120); empty entity → factor 0
+(src/CCD.cpp:8); rank-major (k, n) factor layout (src/main.cpp:93-97).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..data.sparse import RatingMatrix, TestCOO
+from ..eval.metrics import calrmse_device
+from .reference import IterStats
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseState:
+    """Device state for the dense CCD++ backend (a pytree; donated per step)."""
+
+    Rhat: jnp.ndarray      # (m, n) residual at observed entries, 0 elsewhere
+    W: jnp.ndarray         # (k, m) rank-major user factors
+    H: jnp.ndarray         # (k, n) rank-major item factors
+
+
+def _half_sweep(other, Rhat_T, mask_T, lam, nnz):
+    """One side of a rank-one sweep: new_j = g_j / (lam*nnz_j + h_j).
+
+    ``Rhat_T``/``mask_T`` are oriented so the swept entities index axis 1 and
+    the reduction runs over axis 0 (so both half-sweeps are the same code on
+    the two orientations XLA already materializes for the matvec).
+    """
+    g = jnp.einsum("m,mn->n", other, Rhat_T, preferred_element_type=jnp.float32)
+    h = lam * nnz + jnp.einsum("m,mn->n", other * other, mask_T,
+                               preferred_element_type=jnp.float32)
+    return jnp.where(h > 0, g / h, 0.0)
+
+
+def make_outer_step(lam: float, maxinneriter: int, add_back: bool,
+                    residual_dtype=jnp.float32):
+    """Build the jitted one-outer-iteration step function.
+
+    Two variants are compiled per run: oiter==1 (no add-back — H starts zeroed
+    so rank-t residual content is already absent) and oiter>1 (add-back).
+    """
+
+    def step(state: DenseState, mask, row_nnz, col_nnz) -> DenseState:
+        lam_ = jnp.float32(lam)
+
+        def rank_body(t, carry):
+            Rhat, W, H = carry
+            u = jax.lax.dynamic_slice_in_dim(W, t, 1, axis=0)[0]
+            v = jax.lax.dynamic_slice_in_dim(H, t, 1, axis=0)[0]
+            if add_back:                       # src/CCD.cpp:100-103
+                Rhat = Rhat + (jnp.outer(u, v) * mask).astype(residual_dtype)
+            for _ in range(maxinneriter):      # src/CCD.cpp:107-123
+                v = _half_sweep(u, Rhat.astype(jnp.float32),
+                                mask.astype(jnp.float32), lam_, col_nnz)
+                u = _half_sweep(v, Rhat.T.astype(jnp.float32),
+                                mask.T.astype(jnp.float32), lam_, row_nnz)
+            W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, axis=0)
+            H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, axis=0)
+            Rhat = Rhat - (jnp.outer(u, v) * mask).astype(residual_dtype)
+            return (Rhat, W, H)
+
+        k = state.W.shape[0]
+        Rhat, W, H = jax.lax.fori_loop(
+            0, k, rank_body, (state.Rhat, state.W, state.H))
+        return DenseState(Rhat=Rhat, W=W, H=H)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def build_dense_inputs(R: RatingMatrix, dtype=np.float32):
+    """Host-side densification: residual init = ratings at observed coords,
+    mask = observed pattern (NOT value != 0 — explicit zero ratings stay
+    observed, matching the reference's structural sparsity)."""
+    r, c, v = R.to_coo()
+    Rd = np.zeros((R.rows, R.cols), dtype=np.float32)
+    Md = np.zeros((R.rows, R.cols), dtype=np.float32)
+    Rd[r, c] = v
+    Md[r, c] = 1.0
+    return Rd.astype(dtype), Md
+
+
+def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
+                    T: TestCOO, cfg: Config, *,
+                    callback: Optional[Callable[[IterStats], None]] = None,
+                    shardings: Optional[dict] = None,
+                    ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
+    """Train CCD++ with the dense backend. Returns (W, H, per-iter stats) in
+    the reference's rank-major layout. ``shardings`` optionally maps
+    {'row', 'col', 'rep'} to jax.sharding.Sharding for pjit execution
+    ('row' shards the user axis; see parallel/mesh.py)."""
+    rdt = jnp.dtype(cfg.residual_dtype)
+    Rd, Md = build_dense_inputs(R, dtype=rdt)
+    row_nnz = np.diff(R.csr_ptr).astype(np.float32)
+    col_nnz = np.diff(R.csc_ptr).astype(np.float32)
+
+    # Sharded execution: pad the user axis to a multiple of the mesh size.
+    # Pad rows are all-zero mask/residual and start with zero factors, so
+    # every sweep keeps them exactly 0 (empty-entity rule, src/CCD.cpp:8).
+    m = R.rows
+    if shardings is not None:
+        n_dev = shardings["rowmat"].mesh.devices.size
+        m_pad = (-m) % n_dev
+        if m_pad:
+            Rd = np.pad(Rd, ((0, m_pad), (0, 0)))
+            Md = np.pad(Md, ((0, m_pad), (0, 0)))
+            row_nnz = np.pad(row_nnz, (0, m_pad))
+            W0 = np.pad(np.asarray(W0, np.float32), ((0, 0), (0, m_pad)))
+
+    put = functools.partial(_put, shardings)
+    mask = put(Md.astype(rdt), "rowmat")
+    state = DenseState(
+        Rhat=put(Rd, "rowmat"),
+        W=put(np.asarray(W0, np.float32), "colshard_k_m"),
+        H=put(np.zeros_like(H0, dtype=np.float32), "rep"),  # src/CCD.cpp:56-60
+    )
+    row_nnz_d = put(row_nnz, "rowvec")
+    col_nnz_d = put(col_nnz, "rep")
+    ti = put(np.asarray(T.row_idx), "rep")
+    tj = put(np.asarray(T.col_idx), "rep")
+    tv = put(np.asarray(T.val), "rep")
+
+    step_first = make_outer_step(cfg.lambda_, cfg.maxinneriter, add_back=False,
+                                 residual_dtype=rdt)
+    step_rest = make_outer_step(cfg.lambda_, cfg.maxinneriter, add_back=True,
+                                residual_dtype=rdt)
+    rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=False,
+                                        chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
+
+    stats: list[IterStats] = []
+    for oiter in range(1, cfg.maxiter + 1):
+        t0 = time.perf_counter()
+        state = (step_first if oiter == 1 else step_rest)(
+            state, mask, row_nnz_d, col_nnz_d)
+        rmse = float(np.asarray(rmse_fn(ti, tj, tv, state.W, state.H)))
+        dt = time.perf_counter() - t0
+        st = IterStats(oiter=oiter, rmse=rmse, rank_time=dt)
+        stats.append(st)
+        if callback:
+            callback(st)
+    return np.asarray(state.W)[:, :m], np.asarray(state.H), stats
+
+
+def _pow2_ge(x: int) -> int:
+    return 1 << max(10, (max(1, int(x)) - 1).bit_length())
+
+
+def _put(shardings: Optional[dict], x, kind: str):
+    if shardings is None:
+        return jnp.asarray(x)
+    return jax.device_put(x, shardings.get(kind, shardings["rep"]))

@@ -1,0 +1,149 @@
+"""CCD++ — compiled padded-ELL backend (XLA, general sparse path).
+
+The TPU-native counterpart of the reference's CUDA CCD++ kernels
+(/root/reference/cuda_src/CCD_CUDA.cu:3-104) for matrices whose dense residual
+would not fit HBM. Ratings live in the degree-bucketed lane-packed ELL layout
+(data/ell.py) in BOTH orientations, mirroring the reference's dual R/Rt
+residual storage (cuda_src/CCD_CUDA.cu:300-316); factors live in slot space
+for the whole run so the hot loop has zero scatters.
+
+Gather budget (the scarce resource on TPU — see ARCHITECTURE.md): per rank at
+maxinneriter=1 steady state this does ~3 nnz-sized gathers instead of a naive
+6, by fusing
+  * the cols-side add-back with the v-sweep's gather (same u_old vector),
+  * the rows-side add-back + u-sweep into ONE stacked row-gather of
+    [v_old, v_new] (same indices, 2-wide rows cost ~1 scalar gather),
+  * the rows-side subtract with the u-sweep's gather (same v_new vector).
+
+Semantics preserved (SURVEY.md §7): H zeroed at entry (src/CCD.cpp:56-60);
+add-back only from outer iter 2 (src/CCD.cpp:100-103); λ·nnz regularization
+(src/CCD.cpp:112,120); v-sweep before u-sweep each inner iteration
+(src/CCD.cpp:110-121); empty entity -> 0 factor; rank-major factor layout.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..data.ell import EllPair, build_ell_pair
+from ..data.sparse import RatingMatrix, TestCOO
+from ..eval.metrics import calrmse_device
+from ..ops.ell_ops import extend_zero, residual_update, sweep_new_values
+from .reference import IterStats
+
+
+def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
+                        add_back: bool):
+    """One jitted outer iteration over all k ranks (lax.fori_loop)."""
+    rows, cols = ell.rows_side, ell.cols_side
+    lam_ = jnp.float32(lam)
+
+    def step(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c):
+        def rank_body(t, carry):
+            vals_r, vals_c, W, H = carry
+            u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
+            v_old = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
+            u, v = u_old, v_old
+            for i in range(maxinneriter):
+                # ---- v-sweep (cols side), add-back fused into its gather ----
+                u_ext = extend_zero(u)
+                if i == 0 and add_back:
+                    ug = [u_ext[ix] for ix in idx_c]
+                    vals_c = residual_update(idx_c, vals_c, cols, u_ext, v_old,
+                                             +1.0, gathered=ug)
+                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
+                                            rnnz_c, gathered=ug)
+                else:
+                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
+                                            rnnz_c)
+                # ---- u-sweep (rows side) ----
+                if i == 0 and add_back:
+                    # one stacked row-gather serves add-back (v_old) and sweep
+                    stacked = extend_zero(jnp.stack([v_old, v], axis=-1))
+                    G = [stacked[ix] for ix in idx_r]
+                    vals_r = residual_update(idx_r, vals_r, rows, None, u_old,
+                                             +1.0, gathered=[g[..., 0] for g in G])
+                    u, vg = sweep_new_values(idx_r, vals_r, rows, None, lam_,
+                                             rnnz_r, gathered=[g[..., 1] for g in G])
+                else:
+                    u, vg = sweep_new_values(idx_r, vals_r, rows,
+                                             extend_zero(v), lam_, rnnz_r)
+            # ---- write back + subtract (src/CCD.cpp:128-134) ----
+            W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
+            H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
+            vals_r = residual_update(idx_r, vals_r, rows, None, u, -1.0,
+                                     gathered=vg)          # reuse gather(v)
+            vals_c = residual_update(idx_c, vals_c, cols, extend_zero(u), v,
+                                     -1.0)
+            return (vals_r, vals_c, W, H)
+
+        k = W.shape[0]
+        return jax.lax.fori_loop(0, k, rank_body, (vals_r, vals_c, W, H))
+
+    return jax.jit(step, donate_argnums=(2, 3, 4, 5))
+
+
+def factors_to_slots(F: np.ndarray, side) -> np.ndarray:
+    """(k, n_entities) entity order -> (k, n_slots) slot space."""
+    out = np.zeros((F.shape[0], side.n_slots), dtype=np.float32)
+    out[:, side.slot_of_entity] = F
+    return out
+
+
+def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
+                  T: TestCOO, cfg: Config, *,
+                  callback: Optional[Callable[[IterStats], None]] = None,
+                  ell: Optional[EllPair] = None,
+                  ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
+    """Train CCD++ on the ELL backend (single device). Returns (W, H, stats)
+    in the reference's rank-major entity order."""
+    if ell is None:
+        ell = build_ell_pair(R, min_width=cfg.ell_min_width, num_shards=1)
+    rows, cols = ell.rows_side, ell.cols_side
+
+    idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
+    idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
+    vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
+    vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
+    W = jnp.asarray(factors_to_slots(np.asarray(W0, np.float32), rows))
+    H = jnp.zeros((H0.shape[0], cols.n_slots), jnp.float32)  # src/CCD.cpp:56-60
+    rnnz_r = jnp.asarray(rows.slot_nnz)
+    rnnz_c = jnp.asarray(cols.slot_nnz)
+
+    ti = jnp.asarray(rows.slot_of_entity[T.row_idx])
+    tj = jnp.asarray(cols.slot_of_entity[T.col_idx])
+    tv = jnp.asarray(T.val)
+
+    step_first = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter, False)
+    step_rest = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter, True)
+    rmse_fn = jax.jit(functools.partial(
+        calrmse_device, entity_major=False,
+        chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
+
+    stats: list[IterStats] = []
+    for oiter in range(1, cfg.maxiter + 1):
+        t0 = time.perf_counter()
+        step = step_first if oiter == 1 else step_rest
+        vals_r, vals_c, W, H = step(idx_r, idx_c, vals_r, vals_c, W, H,
+                                    rnnz_r, rnnz_c)
+        rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
+        dt = time.perf_counter() - t0
+        st = IterStats(oiter=oiter, rmse=rmse, rank_time=dt)
+        stats.append(st)
+        if callback:
+            callback(st)
+
+    W_ent = np.asarray(W)[:, rows.slot_of_entity]
+    H_ent = np.asarray(H)[:, cols.slot_of_entity]
+    return W_ent, H_ent, stats
+
+
+def _pow2_ge(x: int) -> int:
+    return 1 << max(10, (max(1, int(x)) - 1).bit_length())

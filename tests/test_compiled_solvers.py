@@ -1,0 +1,107 @@
+"""Compiled-backend golden validation: every TPU backend must reproduce the
+NumPy golden solver from identical init within the reference's 10% per-entry
+tolerance (the reference's own dual-backend discipline,
+/root/reference/src/main.cpp:109-144) — and in practice to ~1e-5."""
+
+import numpy as np
+import pytest
+
+from cuda_recommender_tpu.core.config import Config
+from cuda_recommender_tpu.core.init import init_factors_np
+from cuda_recommender_tpu.eval.metrics import golden_compare
+from cuda_recommender_tpu.solvers.als_ell import als_ell_train
+from cuda_recommender_tpu.solvers.ccd_dense import ccd_dense_train
+from cuda_recommender_tpu.solvers.ccd_ell import ccd_ell_train
+from cuda_recommender_tpu.solvers.reference import als_reference, ccd_reference
+
+K = 6
+
+
+@pytest.fixture(scope="module")
+def ccd_golden(small_data):
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    W, H = W0.copy(), H0.copy()
+    stats = ccd_reference(R, W, H, T, lambda_=0.1, maxiter=3, maxinneriter=1)
+    return W0, H0, W, H, stats
+
+
+@pytest.fixture(scope="module")
+def als_golden(small_data):
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0, entity_major=True)
+    W, H = W0.copy(), H0.copy()
+    stats = als_reference(R, W, H, T, lambda_=0.1, maxiter=3)
+    return W0, H0, W, H, stats
+
+
+def _assert_matches(W, H, stats, Wr, Hr, stats_r, tol=1e-3):
+    assert golden_compare(W, Wr, atol=1e-3).passed
+    assert golden_compare(H, Hr, atol=1e-3).passed
+    for a, b in zip(stats, stats_r):
+        assert abs(a.rmse - b.rmse) < tol
+
+
+def test_ccd_dense_golden(small_data, ccd_golden):
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1, backend="dense")
+    W, H, stats = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg)
+    _assert_matches(W, H, stats, Wr, Hr, stats_r)
+
+
+def test_ccd_ell_golden(small_data, ccd_golden):
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1, backend="ell")
+    W, H, stats = ccd_ell_train(R, W0.copy(), H0.copy(), T, cfg)
+    _assert_matches(W, H, stats, Wr, Hr, stats_r)
+
+
+def test_ccd_backends_agree_inner2(tiny_data):
+    """Dense and ELL must agree with each other (and golden) at inner iters=2."""
+    R, T = tiny_data
+    W0, H0 = init_factors_np(4, R.rows, R.cols, seed=1)
+    cfg = Config(k=4, maxiter=2, maxinneriter=2, lambda_=0.05)
+    Wd, Hd, _ = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg)
+    We, He, _ = ccd_ell_train(R, W0.copy(), H0.copy(), T, cfg)
+    np.testing.assert_allclose(Wd, We, atol=1e-4)
+    np.testing.assert_allclose(Hd, He, atol=1e-4)
+
+
+def test_als_ell_golden(small_data, als_golden):
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = als_golden
+    cfg = Config(solver="als", k=K, maxiter=3, lambda_=0.1, backend="ell",
+                 ell_chunk=256)
+    W, H, stats = als_ell_train(R, W0.copy(), H0.copy(), T, cfg)
+    _assert_matches(W, H, stats, Wr, Hr, stats_r)
+
+
+def test_ccd_empty_entities_zero_lambda():
+    """Empty rows/cols with λ=0 must give exact-0 factors, never NaN
+    (reference: empty column returns 0, src/CCD.cpp:8)."""
+    from cuda_recommender_tpu.data.sparse import from_coo, make_test
+    R = from_coo(6, 5, [0, 1, 1, 3], [0, 1, 2, 0], [4.0, 3.0, 5.0, 2.0])
+    T = make_test(6, 5, [0], [0], [4.0])
+    W0, H0 = init_factors_np(3, 6, 5, seed=0)
+    cfg = Config(k=3, maxiter=2, lambda_=0.0, backend="dense")
+    W, H, _ = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert np.all(W[:, [2, 4, 5]] == 0)       # empty user rows
+    assert np.all(H[:, [3, 4]] == 0)          # empty item cols
+    assert np.isfinite(W).all() and np.isfinite(H).all()
+    cfg2 = Config(k=3, maxiter=2, lambda_=0.0, backend="ell")
+    W2, H2, _ = ccd_ell_train(R, W0.copy(), H0.copy(), T, cfg2)
+    assert np.all(W2[:, [2, 4, 5]] == 0) and np.all(H2[:, [3, 4]] == 0)
+    assert np.isfinite(W2).all() and np.isfinite(H2).all()
+
+
+def test_als_empty_entities():
+    from cuda_recommender_tpu.data.sparse import from_coo, make_test
+    R = from_coo(6, 5, [0, 1, 1, 3], [0, 1, 2, 0], [4.0, 3.0, 5.0, 2.0])
+    T = make_test(6, 5, [0], [0], [4.0])
+    W0, H0 = init_factors_np(3, 6, 5, seed=0, entity_major=True)
+    cfg = Config(solver="als", k=3, maxiter=2, lambda_=0.1, backend="ell")
+    W, H, _ = als_ell_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert np.all(W[[2, 4, 5]] == 0) and np.all(H[[3, 4]] == 0)
+    assert np.isfinite(W).all() and np.isfinite(H).all()
