@@ -1,0 +1,104 @@
+"""Benchmark driver contract: prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline", ...}.
+
+Measures steady-state CCD++ sweep throughput (the reference's headline
+workload, scripts/times.sh:5-38) on the flagship dense-residual backend at
+MovieLens-10M scale (ml1m scale when only CPU is available): rating-updates
+per second = nnz * k / outer-iteration-time.
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
+the denominator is the speed-of-light model for this algorithm on this chip —
+the HBM-bandwidth bound of the dense sweep (10 residual/mask passes per rank
+at 4 B/cell; ARCHITECTURE.md traffic model, v5e HBM = 819 GB/s). A value of
+1.0 means the kernel runs at the hardware roofline.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+HBM_BYTES_PER_S = 819e9          # TPU v5e spec
+PASSES_PER_RANK = 10             # 4 reads Rhat + 2 writes Rhat + 4 reads mask
+BYTES_PER_CELL = 4
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_recommender_tpu.core.config import Config
+    from cuda_recommender_tpu.core.init import init_factors_np
+    from cuda_recommender_tpu.data.datasets import synthetic
+    from cuda_recommender_tpu.solvers.ccd_dense import DenseState, make_outer_step
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        m, n, nnz, iters_timed = 69878, 10677, 10_000_000, 3   # ml10M dims
+    else:
+        m, n, nnz, iters_timed = 6040, 3706, 900_000, 2        # ml1m dims
+    k, lam = 10, 0.05
+
+    R, T = synthetic(m=m, n=n, nnz=nnz, seed=1)
+    W0, _ = init_factors_np(k, R.rows, R.cols, seed=0)
+    ri, ci, vv = R.to_coo()
+
+    # densify on device: ship only COO (tunnel-friendly), scatter once
+    @jax.jit
+    def densify(ri, ci, vv):
+        Rd = jnp.zeros((m, n), jnp.float32).at[ri, ci].set(vv)
+        Md = jnp.zeros((m, n), jnp.float32).at[ri, ci].set(1.0)
+        return Rd, Md
+
+    Rd, Md = densify(jnp.asarray(ri), jnp.asarray(ci), jnp.asarray(vv))
+    state = DenseState(Rhat=Rd, W=jnp.asarray(W0),
+                       H=jnp.zeros((k, n), jnp.float32))
+    row_nnz = jnp.asarray(np.diff(R.csr_ptr).astype(np.float32))
+    col_nnz = jnp.asarray(np.diff(R.csc_ptr).astype(np.float32))
+
+    step_first = make_outer_step(lam, 1, add_back=False)
+    step_rest = make_outer_step(lam, 1, add_back=True)
+
+    state = step_first(state, Md, row_nnz, col_nnz)     # compile #1
+    state = step_rest(state, Md, row_nnz, col_nnz)      # compile #2
+    _ = float(np.asarray(state.W[0, 0]))                # sync (host readback)
+
+    t0 = time.perf_counter()
+    for _ in range(iters_timed):
+        state = step_rest(state, Md, row_nnz, col_nnz)
+    _ = float(np.asarray(state.W[0, 0]))                # honest sync
+    dt = (time.perf_counter() - t0) / iters_timed
+
+    ratings_per_s = nnz * k / dt
+    sol_iter_time = k * PASSES_PER_RANK * m * n * BYTES_PER_CELL / HBM_BYTES_PER_S
+    vs_sol = dt and (sol_iter_time / dt)
+
+    # convergence sanity on the side (not timed)
+    from cuda_recommender_tpu.eval.metrics import calrmse_device
+    rmse = float(np.asarray(calrmse_device(
+        jnp.asarray(T.row_idx), jnp.asarray(T.col_idx), jnp.asarray(T.val),
+        state.W, state.H, entity_major=False)))
+
+    print(json.dumps({
+        "metric": "ccd_sweep_throughput",
+        "value": round(ratings_per_s / 1e6, 2),
+        "unit": "M rating-updates/s/chip",
+        "vs_baseline": round(vs_sol, 4),
+        "detail": {
+            "dataset": f"synthetic ml{'10M' if on_tpu else '1m'}-scale "
+                       f"({m}x{n}, nnz={nnz})",
+            "k": k, "outer_iter_ms": round(dt * 1e3, 2),
+            "rmse_after_5_iters": round(rmse, 4),
+            "baseline_def": "HBM speed-of-light dense-sweep model @819GB/s "
+                            "(reference publishes no numbers)",
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Benchmark sweep CLI — the reference's scripts/times.sh harness
+(/root/reference/scripts/times.sh:5-66: k in {1,5,10,15,20,25,30,40,50} x
+inner iters T in {1,3,5,7} x 3 repeats) rebuilt as a single driver emitting
+JSONL records with per-iteration timing and RMSE."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from ..core.config import Backend, Config, Solver
+from ..core.init import init_factors_np
+from ..data import datasets
+
+
+def run_once(R, T, solver: Solver, backend: Backend, k: int, inner: int,
+             lam: float, iters: int, seed: int):
+    from ..solvers.als_ell import als_ell_train
+    from ..solvers.ccd_dense import ccd_dense_train
+    from ..solvers.ccd_ell import ccd_ell_train
+
+    cfg = Config(solver=solver, k=k, maxiter=iters, maxinneriter=inner,
+                 lambda_=lam, backend=backend, seed=seed)
+    backend = cfg.resolve_backend(R.rows, R.cols)
+    entity_major = solver == Solver.ALS
+    W0, H0 = init_factors_np(k, R.rows, R.cols, seed=seed,
+                             entity_major=entity_major)
+    t0 = time.perf_counter()
+    if solver == Solver.ALS:
+        _, _, stats = als_ell_train(R, W0, H0, T, cfg)
+    elif backend == Backend.DENSE:
+        _, _, stats = ccd_dense_train(R, W0, H0, T, cfg)
+    else:
+        _, _, stats = ccd_ell_train(R, W0, H0, T, cfg)
+    total = time.perf_counter() - t0
+    # steady-state iteration time: skip the compile-bearing first two iters
+    steady = [s.rank_time for s in stats[2:]] or [s.rank_time for s in stats]
+    return {
+        "solver": solver.value, "backend": backend.value, "k": k,
+        "inner": inner, "lambda": lam, "iters": iters,
+        "total_s": round(total, 4),
+        "iter_s": round(sum(steady) / len(steady), 5),
+        "final_rmse": round(stats[-1].rmse, 5) if stats else None,
+        "ratings_per_s": round(R.nnz * k / (sum(steady) / len(steady)), 1),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cuda_recommender_tpu.cli.bench")
+    p.add_argument("--dataset", default="synthetic:m=6040,n=3706,nnz=900000",
+                   help="synthetic spec or dataset dir")
+    p.add_argument("--ks", default="10,40",
+                   help="comma list (reference grid: 1,5,10,15,20,25,30,40,50)")
+    p.add_argument("--inners", default="1", help="comma list (ref: 1,3,5,7)")
+    p.add_argument("--solvers", default="ccd,als")
+    p.add_argument("--backend", default="auto",
+                   choices=[b.value for b in Backend])
+    p.add_argument("--lambda", dest="lam", type=float, default=0.1)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--repeats", type=int, default=1)
+    p.add_argument("-o", "--output", default=None, help="JSONL output path")
+    args = p.parse_args(argv)
+
+    if args.dataset.startswith("synthetic:"):
+        spec = datasets.parse_synthetic_spec(args.dataset)
+        R, T = datasets.synthetic(**{k: int(v) for k, v in spec.items()})
+    else:
+        from ..data import binfmt
+        R, T = binfmt.load_binary_dataset(args.dataset)
+
+    sink = open(args.output, "a") if args.output else None
+    for solver in args.solvers.split(","):
+        for k in map(int, args.ks.split(",")):
+            for inner in map(int, args.inners.split(",")):
+                if solver == "als" and inner != int(args.inners.split(",")[0]):
+                    continue        # inner iters are CCD-only, like times.sh
+                for rep in range(args.repeats):
+                    rec = run_once(R, T, Solver(solver), Backend(args.backend),
+                                   k, inner, args.lam, args.iters, seed=rep)
+                    rec["repeat"] = rep
+                    line = json.dumps(rec)
+                    print(line, flush=True)
+                    if sink:
+                        sink.write(line + "\n")
+                        sink.flush()
+    if sink:
+        sink.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

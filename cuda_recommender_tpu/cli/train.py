@@ -1,0 +1,141 @@
+"""Train CLI — reference flag semantics on the TPU runtime.
+
+Mirrors the reference CLI (/root/reference/src/extras.cpp:46-141):
+``-k -n -l -t -T -e -p -q -N -ALS`` plus positional ``data_dir``; the CUDA
+launch-geometry flags (-nBlocks/-nThreadsPerBlock) and backend toggles
+(-CUDA/-OMP) map to TPU equivalents: ``--backend`` picks the compiled path
+(the CUDA role), ``-OMP``/``--golden`` additionally runs the NumPy golden
+solver and cross-validates (the reference's dual-run discipline,
+src/main.cpp:109-144).
+
+Data sources: a data_dir containing ``meta_modified_all`` (reference packed
+binary, tools.cpp:3-85) or ``meta`` (legacy text, extras.cpp:24-44), or
+``--dataset synthetic:m=...,n=...,nnz=...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..core.config import Backend, Config, Solver
+from ..core.metrics_log import MetricsLog
+from ..core.trainer import train
+from ..data import datasets
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cuda_recommender_tpu.cli.train",
+        description="TPU-native CCD++/ALS matrix-factorization trainer")
+    # reference knobs (src/pmf.h:26-42 defaults)
+    p.add_argument("-k", type=int, default=10, help="rank (default 10)")
+    p.add_argument("-n", type=int, default=4, dest="threads",
+                   help="threads (reference parity; no-op on TPU)")
+    p.add_argument("-l", type=float, default=0.1, dest="lambda_",
+                   help="regularization lambda (default 0.1)")
+    p.add_argument("-t", type=int, default=5, dest="maxiter",
+                   help="outer iterations (default 5)")
+    p.add_argument("-T", type=int, default=1, dest="maxinneriter",
+                   help="inner iterations (default 1)")
+    p.add_argument("-e", type=float, default=1e-3, dest="eps",
+                   help="epsilon (parsed but unused, reference parity)")
+    p.add_argument("-p", type=int, default=0, dest="do_predict",
+                   help="save model + write predictions after training")
+    p.add_argument("-q", type=int, default=0, dest="verbose")
+    p.add_argument("-N", type=int, default=0, dest="do_nmf",
+                   help="NMF flag (parsed but unused, reference parity)")
+    p.add_argument("-ALS", action="store_true", dest="als",
+                   help="use ALS instead of CCD++")
+    p.add_argument("-OMP", action="store_true", dest="golden",
+                   help="also run the golden NumPy backend and cross-validate")
+    p.add_argument("-CUDA", action="store_true",
+                   help="accepted for reference-script compat (compiled "
+                        "backend runs by default)")
+    # TPU runtime
+    p.add_argument("--backend", default="auto",
+                   choices=[b.value for b in Backend])
+    p.add_argument("--golden", action="store_true", dest="golden")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard over an N-device mesh (0 = single device)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--residual-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    # io
+    p.add_argument("data_dir", nargs="?", default=None)
+    p.add_argument("--dataset", default=None,
+                   help="synthetic:m=...,n=...,nnz=...[,seed=...] generator")
+    p.add_argument("--save-model", default=None, metavar="PATH",
+                   help="write trained factors (reference save_mat_t format)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--metrics-file", default=None, help="JSONL metrics sink")
+    return p
+
+
+def load_data(args):
+    import os
+    if args.dataset:
+        spec = datasets.parse_synthetic_spec(args.dataset)
+        spec = {k: int(v) if k != "noise" else v for k, v in spec.items()}
+        return datasets.synthetic(**spec)
+    if not args.data_dir:
+        raise SystemExit("need a data_dir or --dataset spec")
+    from ..data import binfmt
+    if os.path.exists(os.path.join(args.data_dir, "meta_modified_all")):
+        return binfmt.load_binary_dataset(args.data_dir)
+    if os.path.exists(os.path.join(args.data_dir, "meta")):
+        return binfmt.load_meta_text_dataset(args.data_dir)
+    raise SystemExit(f"no meta_modified_all or meta manifest in {args.data_dir}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = Config(
+        solver=Solver.ALS if args.als else Solver.CCD,
+        k=args.k, maxiter=args.maxiter, maxinneriter=args.maxinneriter,
+        lambda_=args.lambda_, eps=args.eps, do_predict=bool(args.do_predict),
+        verbose=bool(args.verbose), do_nmf=bool(args.do_nmf),
+        threads=args.threads, backend=Backend(args.backend),
+        golden=args.golden, seed=args.seed,
+        residual_dtype=args.residual_dtype, data_dir=args.data_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        metrics_file=args.metrics_file,
+    )
+    R, T = load_data(args)
+    print(f"[info] loaded {R.rows} x {R.cols}, nnz={R.nnz}, "
+          f"test nnz={T.nnz}", flush=True)
+
+    mesh = None
+    if args.mesh:
+        import jax
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:args.mesh])
+
+    log = MetricsLog(cfg.metrics_file)
+    result = train(cfg, R, T, mesh=mesh, log=log,
+                   resume_from_checkpoint=args.resume)
+
+    if args.save_model or cfg.do_predict:
+        from ..data.binfmt import save_model
+        path = args.save_model or "model"
+        save_model(path, result.W, result.H,
+                   entity_major=result.entity_major)
+        print(f"[info] model saved to {path}", flush=True)
+        if cfg.do_predict:
+            from ..serve.scoring import predict_pairs
+            import numpy as np
+            pred = predict_pairs(result.W, result.H, T.row_idx, T.col_idx,
+                                 entity_major=result.entity_major)
+            with open("output", "w") as f:
+                for v in pred:
+                    f.write("%f\n" % v)
+            print("[info] predictions written to ./output", flush=True)
+    log.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

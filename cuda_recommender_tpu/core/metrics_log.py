@@ -1,0 +1,56 @@
+"""Structured metrics: reference-parity stdout lines + JSONL sink.
+
+The reference's observability is printf-only (SURVEY.md §5): a per-outer-
+iteration line (src/CCD.cpp:158, src/ALS.cpp:229) and [info] phase lines in
+the driver (src/main.cpp:100-160). We reproduce those line shapes for
+comparability and add a machine-readable JSONL stream.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import IO, Optional
+
+
+class MetricsLog:
+    def __init__(self, path: Optional[str] = None, *, echo: bool = True):
+        self.echo = echo
+        self._fp: Optional[IO[str]] = open(path, "a") if path else None
+
+    def event(self, kind: str, **fields) -> None:
+        if self._fp:
+            rec = {"ts": time.time(), "kind": kind, **fields}
+            self._fp.write(json.dumps(rec) + "\n")
+            self._fp.flush()
+
+    def info(self, msg: str, **fields) -> None:
+        if self.echo:
+            print(msg, flush=True)
+        self.event("info", msg=msg, **fields)
+
+    def iteration(self, solver: str, backend: str, oiter: int, rmse: float,
+                  rank_time: float, rank_time_acc: float,
+                  update_time: float = 0.0, update_time_acc: float = 0.0,
+                  rmse_time: float = 0.0) -> None:
+        """Reference iteration-line parity: CCD prints rank_time and
+        update_time (src/CCD.cpp:158), ALS only update_time (src/ALS.cpp:229)."""
+        if self.echo:
+            if solver == "ccd":
+                print("[-INFO-] iteration num %d \trank_time %.4f|%.4f s "
+                      "\tupdate_time %.4f|%.4fs \tRMSE=%f time:%fs"
+                      % (oiter, rank_time, rank_time_acc, update_time,
+                         update_time_acc, rmse, rmse_time), flush=True)
+            else:
+                print("[-INFO-] iteration num %d \tupdate_time %.4f|%.4fs "
+                      "\tRMSE=%f time:%fs"
+                      % (oiter, rank_time, rank_time_acc, rmse, rmse_time),
+                      flush=True)
+        self.event("iteration", solver=solver, backend=backend, oiter=oiter,
+                   rmse=rmse, rank_time=rank_time, update_time=update_time,
+                   rmse_time=rmse_time)
+
+    def close(self) -> None:
+        if self._fp:
+            self._fp.close()
+            self._fp = None

@@ -1,0 +1,174 @@
+"""Training driver: backend selection, dual-run golden validation, telemetry.
+
+The orchestration counterpart of the reference's main()
+(/root/reference/src/main.cpp:38-173): pick solver (CCD default, ALS flag),
+initialize identically-seeded factor copies per enabled backend, run the
+compiled TPU backend (the reference's CUDA role) and optionally the NumPy
+golden backend (the OMP role), compute an independent final RMSE per backend
+(calculate_rmse_directly, src/extras.cpp:182-216), then cross-validate with
+golden_compare (src/main.cpp:133-144) and report phase timings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..data.sparse import RatingMatrix, TestCOO
+from ..eval.metrics import GoldenResult, calrmse_np, golden_compare
+from .checkpoint import Checkpointer
+from .config import Backend, Config, Solver
+from .init import init_factors_np
+from .metrics_log import MetricsLog
+
+
+@dataclasses.dataclass
+class TrainResult:
+    W: np.ndarray
+    H: np.ndarray
+    stats: list
+    entity_major: bool
+    backend: str
+    final_rmse: float
+    train_time: float
+    ref_stats: Optional[list] = None
+    ref_final_rmse: Optional[float] = None
+    golden_W: Optional[GoldenResult] = None
+    golden_H: Optional[GoldenResult] = None
+    validate_time: float = 0.0
+
+
+def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
+                  mesh=None, ckpt=None, resume=None):
+    from ..solvers.als_ell import als_ell_train
+    from ..solvers.ccd_dense import ccd_dense_train
+    from ..solvers.ccd_ell import ccd_ell_train
+
+    acc = {"t": 0.0}
+
+    def cb(st):
+        acc["t"] += st.rank_time
+        log.iteration(cfg.solver.value, backend.value, st.oiter, st.rmse,
+                      st.rank_time, acc["t"], st.update_time, acc["t"])
+
+    kw: dict = dict(callback=cb)
+    if ckpt is not None:
+        kw.update(ckpt_every=cfg.checkpoint_every,
+                  ckpt_fn=lambda oiter, payload: ckpt.save(
+                      oiter, W=payload.pop("W"), H=payload.pop("H"),
+                      solver=cfg.solver.value, backend=backend.value,
+                      extra=payload))
+    if resume is not None:
+        kw.update(resume=resume)
+
+    if cfg.solver == Solver.ALS:
+        if mesh is not None:
+            from ..parallel.als_ell_sharded import als_ell_train_sharded
+            return als_ell_train_sharded(R, W0, H0, T, cfg, mesh, callback=cb)
+        return als_ell_train(R, W0, H0, T, cfg, **kw)
+    if backend == Backend.DENSE:
+        if mesh is not None:
+            from ..parallel.mesh import dense_ccd_shardings
+            kw["shardings"] = dense_ccd_shardings(mesh)
+        return ccd_dense_train(R, W0, H0, T, cfg, **kw)
+    if mesh is not None:
+        if resume is not None or ckpt is not None:
+            raise NotImplementedError(
+                "checkpoint/resume on the sharded ELL path lands with the "
+                "multi-host work; use the single-device backends")
+        from ..parallel.ccd_ell_sharded import ccd_ell_train_sharded
+        kw.pop("ckpt_every", None); kw.pop("ckpt_fn", None)
+        return ccd_ell_train_sharded(R, W0, H0, T, cfg, mesh, callback=cb)
+    return ccd_ell_train(R, W0, H0, T, cfg, **kw)
+
+
+def _run_reference(cfg: Config, R, W0, H0, T, log):
+    from ..solvers.reference import als_reference, ccd_reference
+
+    acc = {"t": 0.0}
+
+    def cb(st):
+        acc["t"] += st.rank_time
+        log.iteration(cfg.solver.value, "ref", st.oiter, st.rmse,
+                      st.rank_time, acc["t"])
+
+    W, H = W0.copy(), H0.copy()
+    if cfg.solver == Solver.ALS:
+        stats = als_reference(R, W, H, T, lambda_=cfg.lambda_,
+                              maxiter=cfg.maxiter, callback=cb)
+    else:
+        stats = ccd_reference(R, W, H, T, lambda_=cfg.lambda_,
+                              maxiter=cfg.maxiter,
+                              maxinneriter=cfg.maxinneriter, callback=cb)
+    return W, H, stats
+
+
+def train(cfg: Config, R: RatingMatrix, T: TestCOO, *,
+          mesh=None, log: Optional[MetricsLog] = None,
+          resume_from_checkpoint: bool = False) -> TrainResult:
+    """Full training run with optional golden validation (cfg.golden) and
+    checkpoint/resume (cfg.checkpoint_dir / resume_from_checkpoint)."""
+    log = log or MetricsLog(cfg.metrics_file)
+    entity_major = cfg.solver == Solver.ALS
+    backend = cfg.resolve_backend(R.rows, R.cols)
+    log.info(f"[info] Picked Version: {cfg.solver.value.upper()}!")
+    log.info("[info] Backend = %s | K = %d | InnerIter = %d | OuterIter = %d "
+             "| L = %.3f" % (backend.value, cfg.k, cfg.maxinneriter,
+                             cfg.maxiter, cfg.lambda_))
+
+    # identical init for every backend copy — the reference's srand(0)
+    # discipline that makes golden_compare meaningful (src/main.cpp:86-98)
+    W0, H0 = init_factors_np(cfg.k, R.rows, R.cols, seed=cfg.seed,
+                             entity_major=entity_major)
+
+    ckpt = Checkpointer(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    resume = None
+    if resume_from_checkpoint:
+        if ckpt is None:
+            raise ValueError("resume requested but no checkpoint_dir set")
+        latest = ckpt.latest()
+        if latest is not None:
+            resume = {"oiter": latest["oiter"], "W": latest["W"],
+                      "H": latest["H"], **latest["extra"]}
+            log.info(f"[info] resuming from checkpoint oiter={latest['oiter']}")
+
+    log.info(f"[INFO] Computing with {backend.value} backend...")
+    t0 = time.perf_counter()
+    W, H, stats = _run_compiled(cfg, backend, R, W0.copy(), H0.copy(), T, log,
+                                mesh=mesh, ckpt=ckpt, resume=resume)
+    train_time = time.perf_counter() - t0
+    log.info("[info] %s Training time: %f s." % (backend.value, train_time))
+    t0 = time.perf_counter()
+    final_rmse = calrmse_np(T, W, H, entity_major=entity_major)
+    log.info("Test RMSE = %f. Calculated in %fs"
+             % (final_rmse, time.perf_counter() - t0))
+
+    result = TrainResult(W=W, H=H, stats=stats, entity_major=entity_major,
+                         backend=backend.value, final_rmse=final_rmse,
+                         train_time=train_time)
+
+    if cfg.golden:
+        log.info("[INFO] Computing with reference (golden) backend...")
+        t0 = time.perf_counter()
+        W_ref, H_ref, ref_stats = _run_reference(cfg, R, W0, H0, T, log)
+        log.info("[info] ref Training time: %f s." % (time.perf_counter() - t0))
+        result.ref_stats = ref_stats
+        result.ref_final_rmse = calrmse_np(T, W_ref, H_ref,
+                                           entity_major=entity_major)
+        log.info("Test RMSE = %f." % result.ref_final_rmse)
+        log.info("[info] validate the results.")
+        t0 = time.perf_counter()
+        result.golden_W = golden_compare(W, W_ref)
+        result.golden_H = golden_compare(H, H_ref)
+        result.validate_time = time.perf_counter() - t0
+        log.info(result.golden_W.message())
+        log.info(result.golden_H.message())
+        log.info("[info] Validate Time: %f s." % result.validate_time)
+        log.event("golden", W_pass=result.golden_W.passed,
+                  H_pass=result.golden_H.passed,
+                  W_err_pct=result.golden_W.error_percentage,
+                  H_err_pct=result.golden_H.error_percentage)
+    return result

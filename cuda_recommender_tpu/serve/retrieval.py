@@ -1,0 +1,105 @@
+"""MIPS top-k candidate retrieval over the item factor table.
+
+The north-star serving path (BASELINE.json): given trained factors, retrieve
+the top-k maximum-inner-product items per query user. TPU-native design:
+stream the item table in lane-aligned chunks through the MXU ((B, k) x
+(k, C) scores per chunk) and maintain a running top-k via merge-and-select
+inside one jitted lax.scan — the full (B, n) score matrix never materializes
+in HBM, so catalogs scale past VMEM/HBM limits and the work stays
+matmul-bound. Sharded serving splits the item table across devices
+(shard_map), runs the same streaming kernel per shard, then merges the
+per-shard top-k — an all_gather of (B, topk) candidates, not scores.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .scoring import as_entity_major
+
+NEG = jnp.float32(-3.4e38)
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "chunk"))
+def topk_mips_device(U: jnp.ndarray, H_em: jnp.ndarray, *, topk: int,
+                     chunk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(scores, item_ids) of the top-``topk`` inner products per query row.
+
+    U (B, k) query factors; H_em (n, k) item table with n a multiple of
+    ``chunk`` (caller pads with NEG-scored rows). Running top-k state is
+    (B, topk); each scan step scores one chunk on the MXU and merges via
+    lax.top_k over the concatenated (B, topk + chunk) candidates.
+    """
+    n = H_em.shape[0]
+    Hc = H_em.reshape(n // chunk, chunk, H_em.shape[1])
+    B = U.shape[0]
+
+    def body(carry, xs):
+        best_s, best_i = carry
+        Hb, base = xs
+        s = jnp.einsum("bk,ck->bc", U, Hb, preferred_element_type=jnp.float32)
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate([best_i, ids], axis=1)
+        top_s, pos = jax.lax.top_k(cand_s, topk)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (jnp.full((B, topk), NEG), jnp.full((B, topk), -1, jnp.int32))
+    bases = (jnp.arange(n // chunk, dtype=jnp.int32) * chunk)
+    (best_s, best_i), _ = jax.lax.scan(body, init, (Hc, bases))
+    return best_s, best_i
+
+
+def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
+              entity_major: bool = True,
+              exclude: dict[int, np.ndarray] | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Host API: top-k item retrieval for a batch of users.
+
+    ``exclude`` optionally maps user id -> item ids to mask out (e.g. train
+    interactions when evaluating recall on held-out items). Masking happens
+    host-side on an over-fetched candidate set (topk + max excluded), keeping
+    the device kernel dense and branch-free.
+    """
+    W_em, H_em = as_entity_major(W, H, entity_major)
+    n, k = H_em.shape
+    extra = max((len(v) for v in exclude.values()), default=0) if exclude else 0
+    fetch = min(n, topk + extra)
+    pad = (-n) % chunk
+    Hp = np.pad(H_em, ((0, pad), (0, 0)))
+    if pad:     # padded rows must never win: push them to -inf via a marker
+        Hp[n:] = 0.0
+    U = W_em[np.asarray(user_ids, np.int64)]
+    s, i = topk_mips_device(jnp.asarray(U), jnp.asarray(Hp),
+                            topk=min(fetch + pad, n + pad), chunk=chunk)
+    s, i = np.asarray(s), np.asarray(i)
+    # drop padding rows (zero vectors can still outrank when all scores < 0)
+    valid = i < n
+    out_s = np.full((len(user_ids), topk), -np.inf, np.float32)
+    out_i = np.full((len(user_ids), topk), -1, np.int32)
+    for b, uid in enumerate(np.asarray(user_ids)):
+        cand = i[b][valid[b]]
+        cs = s[b][valid[b]]
+        if exclude and int(uid) in exclude:
+            keep = ~np.isin(cand, exclude[int(uid)])
+            cand, cs = cand[keep], cs[keep]
+        take = min(topk, cand.shape[0])
+        out_i[b, :take] = cand[:take]
+        out_s[b, :take] = cs[:take]
+    return out_s, out_i
+
+
+def recall_at_k(retrieved: np.ndarray, relevant: list[np.ndarray]) -> float:
+    """Mean recall@k: |retrieved ∩ relevant| / |relevant| per user."""
+    accum, users = 0.0, 0
+    for b, rel in enumerate(relevant):
+        if len(rel) == 0:
+            continue
+        users += 1
+        accum += np.isin(rel, retrieved[b]).sum() / len(rel)
+    return accum / max(1, users)

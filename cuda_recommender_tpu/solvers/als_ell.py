@@ -120,6 +120,7 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                   T: TestCOO, cfg: Config, *,
                   callback: Optional[Callable[[IterStats], None]] = None,
                   ell: Optional[EllPair] = None,
+                  ckpt_every: int = 0, ckpt_fn=None, resume=None,
                   ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Train ALS on the ELL backend (single device). W0 (m, k), H0 (n, k)
     entity-major; returns factors in the same layout/order."""
@@ -137,6 +138,10 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     W_s[rows.slot_of_entity] = np.asarray(W0, np.float32)
     H_s = np.zeros((cols.n_slots, k), np.float32)
     H_s[cols.slot_of_entity] = np.asarray(H0, np.float32)
+    start_oiter = 1
+    if resume is not None:
+        start_oiter = int(resume["oiter"]) + 1
+        W_s, H_s = resume["W"], resume["H"]
     W, H = jnp.asarray(W_s), jnp.asarray(H_s)
     nnz_r = jnp.asarray(rows.slot_nnz)
     nnz_c = jnp.asarray(cols.slot_nnz)
@@ -151,7 +156,7 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
 
     stats: list[IterStats] = []
-    for oiter in range(1, cfg.maxiter + 1):
+    for oiter in range(start_oiter, cfg.maxiter + 1):
         t0 = time.perf_counter()
         W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
         rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
@@ -160,6 +165,8 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         stats.append(st)
         if callback:
             callback(st)
+        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
+            ckpt_fn(oiter, {"W": np.asarray(W), "H": np.asarray(H)})
 
     return (np.asarray(W)[rows.slot_of_entity],
             np.asarray(H)[cols.slot_of_entity], stats)

@@ -64,8 +64,8 @@ def _half_sweep(other, Rhat_T, mask_T, lam, nnz):
 
 
 def make_outer_step(lam: float, maxinneriter: int, add_back: bool,
-                    residual_dtype=jnp.float32):
-    """Build the jitted one-outer-iteration step function.
+                    residual_dtype=jnp.float32, jit_compile: bool = True):
+    """Build the one-outer-iteration step function (jitted by default).
 
     Two variants are compiled per run: oiter==1 (no add-back — H starts zeroed
     so rank-t residual content is already absent) and oiter>1 (add-back).
@@ -95,6 +95,8 @@ def make_outer_step(lam: float, maxinneriter: int, add_back: bool,
             0, k, rank_body, (state.Rhat, state.W, state.H))
         return DenseState(Rhat=Rhat, W=W, H=H)
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -114,11 +116,17 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                     T: TestCOO, cfg: Config, *,
                     callback: Optional[Callable[[IterStats], None]] = None,
                     shardings: Optional[dict] = None,
+                    ckpt_every: int = 0, ckpt_fn=None, resume=None,
                     ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Train CCD++ with the dense backend. Returns (W, H, per-iter stats) in
     the reference's rank-major layout. ``shardings`` optionally maps
     {'row', 'col', 'rep'} to jax.sharding.Sharding for pjit execution
-    ('row' shards the user axis; see parallel/mesh.py)."""
+    ('row' shards the user axis; see parallel/mesh.py).
+
+    Checkpointing: every ``ckpt_every`` outer iters, ``ckpt_fn(oiter,
+    payload)`` gets host copies of the full training state (factors AND the
+    dense residual — CCD++'s residual is state, src/CCD.cpp:100-134);
+    ``resume`` takes such a payload plus its ``oiter`` to continue a run."""
     rdt = jnp.dtype(cfg.residual_dtype)
     Rd, Md = build_dense_inputs(R, dtype=rdt)
     row_nnz = np.diff(R.csr_ptr).astype(np.float32)
@@ -139,11 +147,20 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     put = functools.partial(_put, shardings)
     mask = put(Md.astype(rdt), "rowmat")
-    state = DenseState(
-        Rhat=put(Rd, "rowmat"),
-        W=put(np.asarray(W0, np.float32), "colshard_k_m"),
-        H=put(np.zeros_like(H0, dtype=np.float32), "rep"),  # src/CCD.cpp:56-60
-    )
+    start_oiter = 1
+    if resume is not None:
+        start_oiter = int(resume["oiter"]) + 1
+        state = DenseState(
+            Rhat=put(resume["Rhat"].astype(rdt), "rowmat"),
+            W=put(resume["W"].astype(np.float32), "colshard_k_m"),
+            H=put(resume["H"].astype(np.float32), "rep"),
+        )
+    else:
+        state = DenseState(
+            Rhat=put(Rd, "rowmat"),
+            W=put(np.asarray(W0, np.float32), "colshard_k_m"),
+            H=put(np.zeros_like(H0, dtype=np.float32), "rep"),  # src/CCD.cpp:56-60
+        )
     row_nnz_d = put(row_nnz, "rowvec")
     col_nnz_d = put(col_nnz, "rep")
     ti = put(np.asarray(T.row_idx), "rep")
@@ -158,7 +175,7 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                                         chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
 
     stats: list[IterStats] = []
-    for oiter in range(1, cfg.maxiter + 1):
+    for oiter in range(start_oiter, cfg.maxiter + 1):
         t0 = time.perf_counter()
         state = (step_first if oiter == 1 else step_rest)(
             state, mask, row_nnz_d, col_nnz_d)
@@ -168,6 +185,9 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         stats.append(st)
         if callback:
             callback(st)
+        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
+            ckpt_fn(oiter, {"W": np.asarray(state.W), "H": np.asarray(state.H),
+                            "Rhat": np.asarray(state.Rhat)})
     return np.asarray(state.W)[:, :m], np.asarray(state.H), stats
 
 

@@ -101,19 +101,32 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                   T: TestCOO, cfg: Config, *,
                   callback: Optional[Callable[[IterStats], None]] = None,
                   ell: Optional[EllPair] = None,
+                  ckpt_every: int = 0, ckpt_fn=None, resume=None,
                   ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Train CCD++ on the ELL backend (single device). Returns (W, H, stats)
-    in the reference's rank-major entity order."""
+    in the reference's rank-major entity order. Checkpoint payloads carry the
+    slot-space factors plus both residual bucket value sets (CCD++'s residual
+    is training state, src/CCD.cpp:100-134)."""
     if ell is None:
         ell = build_ell_pair(R, min_width=cfg.ell_min_width, num_shards=1)
     rows, cols = ell.rows_side, ell.cols_side
 
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
-    vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
-    vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
-    W = jnp.asarray(factors_to_slots(np.asarray(W0, np.float32), rows))
-    H = jnp.zeros((H0.shape[0], cols.n_slots), jnp.float32)  # src/CCD.cpp:56-60
+    start_oiter = 1
+    if resume is not None:
+        start_oiter = int(resume["oiter"]) + 1
+        vals_r = tuple(jnp.asarray(resume[f"vals_r_{i}"])
+                       for i in range(len(rows.buckets)))
+        vals_c = tuple(jnp.asarray(resume[f"vals_c_{i}"])
+                       for i in range(len(cols.buckets)))
+        W = jnp.asarray(resume["W"])
+        H = jnp.asarray(resume["H"])
+    else:
+        vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
+        vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
+        W = jnp.asarray(factors_to_slots(np.asarray(W0, np.float32), rows))
+        H = jnp.zeros((H0.shape[0], cols.n_slots), jnp.float32)  # src/CCD.cpp:56-60
     rnnz_r = jnp.asarray(rows.slot_nnz)
     rnnz_c = jnp.asarray(cols.slot_nnz)
 
@@ -128,7 +141,7 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
 
     stats: list[IterStats] = []
-    for oiter in range(1, cfg.maxiter + 1):
+    for oiter in range(start_oiter, cfg.maxiter + 1):
         t0 = time.perf_counter()
         step = step_first if oiter == 1 else step_rest
         vals_r, vals_c, W, H = step(idx_r, idx_c, vals_r, vals_c, W, H,
@@ -139,6 +152,13 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         stats.append(st)
         if callback:
             callback(st)
+        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
+            payload = {"W": np.asarray(W), "H": np.asarray(H)}
+            for i, v_ in enumerate(vals_r):
+                payload[f"vals_r_{i}"] = np.asarray(v_)
+            for i, v_ in enumerate(vals_c):
+                payload[f"vals_c_{i}"] = np.asarray(v_)
+            ckpt_fn(oiter, payload)
 
     W_ent = np.asarray(W)[:, rows.slot_of_entity]
     H_ent = np.asarray(H)[:, cols.slot_of_entity]

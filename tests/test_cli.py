@@ -1,0 +1,62 @@
+"""CLI entry points: train (reference flags), convert, predict."""
+
+import numpy as np
+
+from cuda_recommender_tpu.cli import convert as cli_convert
+from cuda_recommender_tpu.cli import predict as cli_predict
+from cuda_recommender_tpu.cli import train as cli_train
+
+
+def test_train_cli_synthetic_golden(capsys):
+    rc = cli_train.main(["--dataset", "synthetic:m=200,n=80,nnz=4000",
+                         "-k", "4", "-t", "2", "-l", "0.1", "-OMP"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Picked Version: CCD!" in out
+    assert "Check... PASS!" in out
+
+
+def test_train_cli_als_save_model(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = cli_train.main(["--dataset", "synthetic:m=150,n=60,nnz=3000",
+                         "-ALS", "-k", "4", "-t", "2",
+                         "--save-model", str(tmp_path / "model")])
+    assert rc == 0
+    assert "Picked Version: ALS!" in capsys.readouterr().out
+    assert (tmp_path / "model").exists()
+
+
+def test_convert_then_train_then_predict(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(3000):
+        u = int(rng.integers(1, 120))
+        i = int(rng.integers(1, 50))
+        lines.append(f"{u} {i} {rng.integers(1, 6)}")
+    src = tmp_path / "ratings.txt"
+    src.write_text("\n".join(dict.fromkeys(lines)) + "\n")
+    ds = str(tmp_path / "ds")
+
+    assert cli_convert.main([str(src), ds, "--test-fraction", "0.2"]) == 0
+    model = str(tmp_path / "model")
+    assert cli_train.main([ds, "-k", "4", "-t", "2",
+                           "--save-model", model]) == 0
+
+    test_txt = tmp_path / "t.txt"
+    test_txt.write_text("1 1 3.0\n5 2 4.0\n")
+    rc = cli_predict.main(["score", model, str(test_txt),
+                           "-o", str(tmp_path / "out")])
+    assert rc == 0
+    assert len(np.loadtxt(tmp_path / "out", ndmin=1)) == 2
+
+    rc = cli_predict.main(["topk", model, "0,1", "-k", "5", "--chunk", "16"])
+    assert rc == 0
+    assert "user 0:" in capsys.readouterr().out
+
+
+def test_train_cli_mesh(capsys):
+    rc = cli_train.main(["--dataset", "synthetic:m=160,n=64,nnz=3000",
+                         "-k", "4", "-t", "2", "--backend", "ell",
+                         "--mesh", "8"])
+    assert rc == 0
+    assert "iteration num 2" in capsys.readouterr().out
