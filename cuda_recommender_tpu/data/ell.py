@@ -224,7 +224,31 @@ def _build_side(ptr: np.ndarray, n_entities: int, *, min_width: int,
 
 def _fill_side(side: EllSide, fill_grids, ptr, nbr_idx, nbr_val,
                other_slot_of_entity: np.ndarray, other_zero_slot: int) -> EllSide:
-    """Second pass: write idx (other-side slot ids) and val into bucket arrays."""
+    """Second pass: write idx (other-side slot ids) and val into bucket arrays.
+    Uses the native C++ fill (cuda_recommender_tpu/native) when available —
+    the Python per-entity loop is minutes at Netflix-100M scale."""
+    native_fill = None
+    try:
+        from ..native import ellfill as _ellfill
+        from ..native import available as _native_ok
+        if _native_ok():
+            native_fill = _ellfill.fill_bucket
+    except Exception:
+        native_fill = None
+
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    nbr_idx = np.ascontiguousarray(nbr_idx, dtype=np.int32)
+    nbr_val = np.ascontiguousarray(nbr_val, dtype=np.float32)
+    other_slot_of_entity = np.ascontiguousarray(other_slot_of_entity,
+                                                dtype=np.int32)
+    if native_fill is not None:
+        for b, grid in zip(side.buckets, fill_grids):
+            native_fill(ptr, nbr_idx, nbr_val, other_slot_of_entity,
+                        np.ascontiguousarray(grid, dtype=np.int64),
+                        b.E, b.p, b.rows_per_shard, b.L, other_zero_slot,
+                        b.idx, b.val)
+        return dataclasses.replace(side, other_zero_slot=other_zero_slot)
+
     for b, grid in zip(side.buckets, fill_grids):
         b.idx.fill(other_zero_slot)
         b.val.fill(0.0)
