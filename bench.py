@@ -23,8 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 HBM_BYTES_PER_S = 819e9          # TPU v5e spec
-PASSES_PER_RANK = 10             # 4 reads Rhat + 2 writes Rhat + 4 reads mask
-BYTES_PER_CELL = 4
+# Algorithmic floor per rank per cell (deferred-subtract schedule with full
+# pass fusion): residual f32 read 2x + written 1x (12 B) + bf16 mask read 2x
+# (4 B) = 16 B. Reaching 1.0 requires fusing the rank-1 update pass with the
+# v-sweep reduction (the Pallas kernel's job); plain XLA's floor is 22 B.
+FLOOR_BYTES_PER_CELL_PER_RANK = 16
 
 
 def main() -> None:
@@ -56,25 +59,27 @@ def main() -> None:
 
     Rd, Md = densify(jnp.asarray(ri), jnp.asarray(ci), jnp.asarray(vv))
     state = DenseState(Rhat=Rd, W=jnp.asarray(W0),
-                       H=jnp.zeros((k, n), jnp.float32))
+                       H=jnp.zeros((k, n), jnp.float32),
+                       u_pend=jnp.zeros(m, jnp.float32),
+                       v_pend=jnp.zeros(n, jnp.float32))
+    Md = Md.astype(jnp.bfloat16)
     row_nnz = jnp.asarray(np.diff(R.csr_ptr).astype(np.float32))
     col_nnz = jnp.asarray(np.diff(R.csc_ptr).astype(np.float32))
 
-    step_first = make_outer_step(lam, 1, add_back=False)
-    step_rest = make_outer_step(lam, 1, add_back=True)
-
-    state = step_first(state, Md, row_nnz, col_nnz)     # compile #1
-    state = step_rest(state, Md, row_nnz, col_nnz)      # compile #2
+    step = make_outer_step(lam, 1)
+    state = step(state, Md, row_nnz, col_nnz)           # compile + iter 1
+    state = step(state, Md, row_nnz, col_nnz)           # steady-state warmup
     _ = float(np.asarray(state.W[0, 0]))                # sync (host readback)
 
     t0 = time.perf_counter()
     for _ in range(iters_timed):
-        state = step_rest(state, Md, row_nnz, col_nnz)
+        state = step(state, Md, row_nnz, col_nnz)
     _ = float(np.asarray(state.W[0, 0]))                # honest sync
     dt = (time.perf_counter() - t0) / iters_timed
 
     ratings_per_s = nnz * k / dt
-    sol_iter_time = k * PASSES_PER_RANK * m * n * BYTES_PER_CELL / HBM_BYTES_PER_S
+    sol_iter_time = (k * FLOOR_BYTES_PER_CELL_PER_RANK * m * n
+                     / HBM_BYTES_PER_S)
     vs_sol = dt and (sol_iter_time / dt)
 
     # convergence sanity on the side (not timed)
@@ -93,8 +98,8 @@ def main() -> None:
                        f"({m}x{n}, nnz={nnz})",
             "k": k, "outer_iter_ms": round(dt * 1e3, 2),
             "rmse_after_5_iters": round(rmse, 4),
-            "baseline_def": "HBM speed-of-light dense-sweep model @819GB/s "
-                            "(reference publishes no numbers)",
+            "baseline_def": "HBM speed-of-light floor: 16 B/cell/rank "
+                            "@819GB/s (reference publishes no numbers)",
             "backend": jax.default_backend(),
         },
     }))

@@ -6,21 +6,30 @@ chains with one thread per column; on TPU that formulation is issue-bound
 ~50-100x below speed-of-light (see ARCHITECTURE.md). Instead the residual is a
 dense (m, n) array maintained only at observed entries (zero elsewhere) with a
 {0,1} mask, and every sweep becomes a matvec pair — pure HBM-bandwidth-bound
-work that XLA tiles onto the MXU/VPU:
+work that XLA tiles onto the MXU/VPU.
 
-    per rank t (inside one jitted outer iteration, lax.fori_loop over ranks —
-    no per-rank host dispatch, unlike the reference's 2*k*T device syncs per
-    outer iteration at cuda_src/CCD_CUDA.cu:218):
-      if oiter > 1:  Rhat += outer(u, v) * mask        # add-back, src/CCD.cpp:100-103
-      repeat maxinneriter times:                        # src/CCD.cpp:107-123
-        v = (u @ Rhat) / (lam*col_nnz + (u*u) @ mask)   # v-sweep first
-        u = (Rhat @ v) / (lam*row_nnz + mask @ (v*v))
-      Rhat -= outer(u, v) * mask
+Traffic-optimized schedule (equivalent math, fewer HBM passes than the
+reference's order):
 
-Semantics preserved from the reference (SURVEY.md §7 checklist): H zeroed at
-solver entry (src/CCD.cpp:56-60); add-back only from outer iteration 2; λ
-scaled by the entity's nnz (src/CCD.cpp:112,120); empty entity → factor 0
-(src/CCD.cpp:8); rank-major (k, n) factor layout (src/main.cpp:93-97).
+* **Deferred subtract**: the reference subtracts rank t's new outer product
+  at rank end and adds the old one back at rank start of the next sweep
+  (src/CCD.cpp:100-134) — two rank-1 residual passes. Here the subtract of
+  rank t and the add-back of rank t+1 fuse into ONE read-modify-write:
+      Rhat += (outer(u_add, v_add) - outer(u_sub, v_sub)) * mask
+  with (u_sub, v_sub) carried across ranks AND outer iterations in the state.
+* **Unconditional add-back**: the reference gates add-back on oiter > 1; in
+  outer iteration 1 H[t] is still 0 so the add-back term vanishes identically
+  — one compiled step variant covers all iterations.
+* **bf16 mask**: {0,1} is exact in bfloat16; mask traffic is halved, all
+  arithmetic accumulates in f32.
+
+Semantics preserved (SURVEY.md §7 checklist): H zeroed at solver entry
+(src/CCD.cpp:56-60); λ scaled by the entity's nnz (src/CCD.cpp:112,120);
+empty entity → factor 0 (src/CCD.cpp:8); v-sweep before u-sweep per inner
+iteration (src/CCD.cpp:110-121); rank-major (k, n) factor layout
+(src/main.cpp:93-97). All k ranks run inside one jitted outer iteration under
+lax.fori_loop — no per-rank host dispatch, unlike the reference's 2·k·T
+device syncs per outer iteration (cuda_src/CCD_CUDA.cu:218).
 """
 
 from __future__ import annotations
@@ -43,57 +52,55 @@ from .reference import IterStats
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DenseState:
-    """Device state for the dense CCD++ backend (a pytree; donated per step)."""
+    """Device state for the dense CCD++ backend (a pytree; donated per step).
+
+    ``u_pend``/``v_pend`` is the not-yet-subtracted outer product of the last
+    swept rank (deferred-subtract schedule); zeros before the first rank.
+    """
 
     Rhat: jnp.ndarray      # (m, n) residual at observed entries, 0 elsewhere
     W: jnp.ndarray         # (k, m) rank-major user factors
     H: jnp.ndarray         # (k, n) rank-major item factors
+    u_pend: jnp.ndarray    # (m,)
+    v_pend: jnp.ndarray    # (n,)
 
 
 def _half_sweep(other, Rhat_T, mask_T, lam, nnz):
-    """One side of a rank-one sweep: new_j = g_j / (lam*nnz_j + h_j).
-
-    ``Rhat_T``/``mask_T`` are oriented so the swept entities index axis 1 and
-    the reduction runs over axis 0 (so both half-sweeps are the same code on
-    the two orientations XLA already materializes for the matvec).
-    """
-    g = jnp.einsum("m,mn->n", other, Rhat_T, preferred_element_type=jnp.float32)
-    h = lam * nnz + jnp.einsum("m,mn->n", other * other, mask_T,
+    """One side of a rank-one sweep: new_j = g_j / (lam*nnz_j + h_j)."""
+    g = jnp.einsum("m,mn->n", other, Rhat_T.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    h = lam * nnz + jnp.einsum("m,mn->n", other * other,
+                               mask_T.astype(jnp.float32),
                                preferred_element_type=jnp.float32)
     return jnp.where(h > 0, g / h, 0.0)
 
 
-def make_outer_step(lam: float, maxinneriter: int, add_back: bool,
+def make_outer_step(lam: float, maxinneriter: int,
                     residual_dtype=jnp.float32, jit_compile: bool = True):
-    """Build the one-outer-iteration step function (jitted by default).
-
-    Two variants are compiled per run: oiter==1 (no add-back — H starts zeroed
-    so rank-t residual content is already absent) and oiter>1 (add-back).
-    """
+    """Build the one-outer-iteration step function (jitted by default)."""
 
     def step(state: DenseState, mask, row_nnz, col_nnz) -> DenseState:
         lam_ = jnp.float32(lam)
 
         def rank_body(t, carry):
-            Rhat, W, H = carry
+            Rhat, W, H, u_sub, v_sub = carry
             u = jax.lax.dynamic_slice_in_dim(W, t, 1, axis=0)[0]
             v = jax.lax.dynamic_slice_in_dim(H, t, 1, axis=0)[0]
-            if add_back:                       # src/CCD.cpp:100-103
-                Rhat = Rhat + (jnp.outer(u, v) * mask).astype(residual_dtype)
+            # fused deferred-subtract + add-back (single residual pass)
+            delta = (jnp.outer(u, v) - jnp.outer(u_sub, v_sub))
+            Rhat = Rhat + (delta * mask.astype(delta.dtype)).astype(residual_dtype)
             for _ in range(maxinneriter):      # src/CCD.cpp:107-123
-                v = _half_sweep(u, Rhat.astype(jnp.float32),
-                                mask.astype(jnp.float32), lam_, col_nnz)
-                u = _half_sweep(v, Rhat.T.astype(jnp.float32),
-                                mask.T.astype(jnp.float32), lam_, row_nnz)
+                v = _half_sweep(u, Rhat, mask, lam_, col_nnz)
+                u = _half_sweep(v, Rhat.T, mask.T, lam_, row_nnz)
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, axis=0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, axis=0)
-            Rhat = Rhat - (jnp.outer(u, v) * mask).astype(residual_dtype)
-            return (Rhat, W, H)
+            return (Rhat, W, H, u, v)
 
         k = state.W.shape[0]
-        Rhat, W, H = jax.lax.fori_loop(
-            0, k, rank_body, (state.Rhat, state.W, state.H))
-        return DenseState(Rhat=Rhat, W=W, H=H)
+        Rhat, W, H, u_pend, v_pend = jax.lax.fori_loop(
+            0, k, rank_body,
+            (state.Rhat, state.W, state.H, state.u_pend, state.v_pend))
+        return DenseState(Rhat=Rhat, W=W, H=H, u_pend=u_pend, v_pend=v_pend)
 
     if not jit_compile:
         return step
@@ -119,14 +126,14 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                     ckpt_every: int = 0, ckpt_fn=None, resume=None,
                     ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Train CCD++ with the dense backend. Returns (W, H, per-iter stats) in
-    the reference's rank-major layout. ``shardings`` optionally maps
-    {'row', 'col', 'rep'} to jax.sharding.Sharding for pjit execution
-    ('row' shards the user axis; see parallel/mesh.py).
+    the reference's rank-major layout. ``shardings`` optionally maps layout
+    kinds to jax.sharding.Sharding for pjit execution (parallel/mesh.py).
 
     Checkpointing: every ``ckpt_every`` outer iters, ``ckpt_fn(oiter,
-    payload)`` gets host copies of the full training state (factors AND the
-    dense residual — CCD++'s residual is state, src/CCD.cpp:100-134);
-    ``resume`` takes such a payload plus its ``oiter`` to continue a run."""
+    payload)`` gets host copies of the full training state (factors, the
+    dense residual AND the pending outer product — CCD++'s residual is
+    state, src/CCD.cpp:100-134); ``resume`` takes such a payload plus its
+    ``oiter`` to continue a run."""
     rdt = jnp.dtype(cfg.residual_dtype)
     Rd, Md = build_dense_inputs(R, dtype=rdt)
     row_nnz = np.diff(R.csr_ptr).astype(np.float32)
@@ -144,9 +151,11 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             Md = np.pad(Md, ((0, m_pad), (0, 0)))
             row_nnz = np.pad(row_nnz, (0, m_pad))
             W0 = np.pad(np.asarray(W0, np.float32), ((0, 0), (0, m_pad)))
+    mp = Rd.shape[0]
+    n = R.cols
 
     put = functools.partial(_put, shardings)
-    mask = put(Md.astype(rdt), "rowmat")
+    mask = put(Md.astype(jnp.bfloat16), "rowmat")     # {0,1} exact in bf16
     start_oiter = 1
     if resume is not None:
         start_oiter = int(resume["oiter"]) + 1
@@ -154,12 +163,16 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             Rhat=put(resume["Rhat"].astype(rdt), "rowmat"),
             W=put(resume["W"].astype(np.float32), "colshard_k_m"),
             H=put(resume["H"].astype(np.float32), "rep"),
+            u_pend=put(resume["u_pend"].astype(np.float32), "rowvec"),
+            v_pend=put(resume["v_pend"].astype(np.float32), "rep"),
         )
     else:
         state = DenseState(
             Rhat=put(Rd, "rowmat"),
             W=put(np.asarray(W0, np.float32), "colshard_k_m"),
             H=put(np.zeros_like(H0, dtype=np.float32), "rep"),  # src/CCD.cpp:56-60
+            u_pend=put(np.zeros(mp, np.float32), "rowvec"),
+            v_pend=put(np.zeros(n, np.float32), "rep"),
         )
     row_nnz_d = put(row_nnz, "rowvec")
     col_nnz_d = put(col_nnz, "rep")
@@ -167,18 +180,15 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = put(np.asarray(T.col_idx), "rep")
     tv = put(np.asarray(T.val), "rep")
 
-    step_first = make_outer_step(cfg.lambda_, cfg.maxinneriter, add_back=False,
-                                 residual_dtype=rdt)
-    step_rest = make_outer_step(cfg.lambda_, cfg.maxinneriter, add_back=True,
-                                residual_dtype=rdt)
+    step_fn = make_outer_step(cfg.lambda_, cfg.maxinneriter,
+                              residual_dtype=rdt)
     rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=False,
                                         chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
 
     stats: list[IterStats] = []
     for oiter in range(start_oiter, cfg.maxiter + 1):
         t0 = time.perf_counter()
-        state = (step_first if oiter == 1 else step_rest)(
-            state, mask, row_nnz_d, col_nnz_d)
+        state = step_fn(state, mask, row_nnz_d, col_nnz_d)
         rmse = float(np.asarray(rmse_fn(ti, tj, tv, state.W, state.H)))
         dt = time.perf_counter() - t0
         st = IterStats(oiter=oiter, rmse=rmse, rank_time=dt)
@@ -187,7 +197,9 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             callback(st)
         if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
             ckpt_fn(oiter, {"W": np.asarray(state.W), "H": np.asarray(state.H),
-                            "Rhat": np.asarray(state.Rhat)})
+                            "Rhat": np.asarray(state.Rhat),
+                            "u_pend": np.asarray(state.u_pend),
+                            "v_pend": np.asarray(state.v_pend)})
     return np.asarray(state.W)[:, :m], np.asarray(state.H), stats
 
 
