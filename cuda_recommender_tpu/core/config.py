@@ -32,9 +32,13 @@ class Backend(str, enum.Enum):
     REF = "ref"
     #: Compiled XLA dense-residual path (CCD) — the single-chip flagship.
     DENSE = "dense"
+    #: Dense-residual path with the Pallas fused update+sweep kernel (CCD,
+    #: single chip) — 16 B/cell/rank HBM floor, fastest on TPU.
+    PALLAS = "pallas"
     #: Compiled XLA padded-ELL path (general sparse; the only ALS compiled path).
     ELL = "ell"
-    #: Pick DENSE for CCD when the dense residual fits, else ELL.
+    #: Pick the dense-residual path for CCD when it fits (Pallas kernel on
+    #: TPU, plain XLA elsewhere), else ELL.
     AUTO = "auto"
 
 
@@ -82,9 +86,12 @@ class Config:
             raise ValueError("ell_min_width must be a power of two")
 
     def resolve_backend(self, m: int, n: int) -> Backend:
-        """AUTO resolution: dense residual for CCD when it fits, ELL otherwise."""
+        """AUTO resolution: dense residual for CCD when it fits (the Pallas
+        fused kernel on TPU, plain XLA elsewhere), ELL otherwise."""
         if self.backend != Backend.AUTO:
             return self.backend
         if self.solver == Solver.CCD and m * n <= self.dense_max_cells:
-            return Backend.DENSE
+            import jax
+            return Backend.PALLAS if jax.default_backend() == "tpu" \
+                else Backend.DENSE
         return Backend.ELL

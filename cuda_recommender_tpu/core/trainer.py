@@ -69,6 +69,13 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
             from ..parallel.als_ell_sharded import als_ell_train_sharded
             return als_ell_train_sharded(R, W0, H0, T, cfg, mesh, callback=cb)
         return als_ell_train(R, W0, H0, T, cfg, **kw)
+    if backend == Backend.PALLAS:
+        if mesh is not None:
+            raise NotImplementedError(
+                "the Pallas backend is single-chip; use backend=dense or ell "
+                "with --mesh")
+        from ..solvers.ccd_pallas import ccd_pallas_train
+        return ccd_pallas_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.DENSE:
         if mesh is not None:
             from ..parallel.mesh import dense_ccd_shardings

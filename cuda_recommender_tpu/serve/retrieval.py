@@ -94,12 +94,4 @@ def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
     return out_s, out_i
 
 
-def recall_at_k(retrieved: np.ndarray, relevant: list[np.ndarray]) -> float:
-    """Mean recall@k: |retrieved ∩ relevant| / |relevant| per user."""
-    accum, users = 0.0, 0
-    for b, rel in enumerate(relevant):
-        if len(rel) == 0:
-            continue
-        users += 1
-        accum += np.isin(rel, retrieved[b]).sum() / len(rel)
-    return accum / max(1, users)
+from ..eval.ranking import recall_at_k  # noqa: E402,F401  (canonical home)

@@ -1,0 +1,1 @@
+from .timing import Phases, profile_trace, sync, timeit  # noqa: F401

@@ -1,0 +1,65 @@
+"""Pallas fused-kernel backend: golden validation + kernel unit test.
+
+On the CPU test backend the kernel runs in Pallas interpreter mode — same
+code path shape as the compiled TPU kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_recommender_tpu.core.config import Config
+from cuda_recommender_tpu.core.init import init_factors_np
+from cuda_recommender_tpu.eval.metrics import golden_compare
+from cuda_recommender_tpu.ops.ccd_pallas import BM, BN, fused_update_vsweep
+from cuda_recommender_tpu.solvers.ccd_pallas import ccd_pallas_train
+from cuda_recommender_tpu.solvers.reference import ccd_reference
+
+
+def test_fused_kernel_matches_reference_ops(rng):
+    m, n = BM * 2, BN * 2
+    Rhat = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) < 0.1).astype(np.float32)
+    Rhat = Rhat * mask
+    ua, us = (rng.normal(size=m).astype(np.float32) for _ in range(2))
+    va, vs = (rng.normal(size=n).astype(np.float32) for _ in range(2))
+
+    Rnew, g, h = fused_update_vsweep(
+        jnp.asarray(Rhat), jnp.asarray(mask, jnp.bfloat16),
+        jnp.asarray(ua), jnp.asarray(us), jnp.asarray(va), jnp.asarray(vs),
+        interpret=jax.default_backend() == "cpu")
+
+    want_R = Rhat + (np.outer(ua, va) - np.outer(us, vs)) * mask
+    np.testing.assert_allclose(np.asarray(Rnew), want_R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), ua @ want_R, rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(h), (ua * ua) @ mask,
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_ccd_pallas_golden(small_data):
+    R, T = small_data
+    k = 5
+    W0, H0 = init_factors_np(k, R.rows, R.cols, seed=0)
+    Wr, Hr = W0.copy(), H0.copy()
+    stats_r = ccd_reference(R, Wr, Hr, T, lambda_=0.1, maxiter=3,
+                            maxinneriter=1)
+    cfg = Config(k=k, maxiter=3, maxinneriter=1, lambda_=0.1,
+                 backend="pallas")
+    W, H, stats = ccd_pallas_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert golden_compare(W, Wr, atol=1e-3).passed
+    assert golden_compare(H, Hr, atol=1e-3).passed
+    for a, b in zip(stats, stats_r):
+        assert abs(a.rmse - b.rmse) < 1e-3
+
+
+def test_ccd_pallas_checkpoint_resume(small_data, tmp_path):
+    from cuda_recommender_tpu.core.trainer import train
+
+    R, T = small_data
+    base = dict(k=4, lambda_=0.1, backend="pallas")
+    full = train(Config(maxiter=3, **base), R, T)
+    ck = str(tmp_path / "ck")
+    train(Config(maxiter=1, checkpoint_dir=ck, checkpoint_every=1, **base), R, T)
+    resumed = train(Config(maxiter=3, checkpoint_dir=ck, checkpoint_every=1,
+                           **base), R, T, resume_from_checkpoint=True)
+    np.testing.assert_allclose(full.W, resumed.W, atol=1e-6)
+    np.testing.assert_allclose(full.H, resumed.H, atol=1e-6)
