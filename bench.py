@@ -66,14 +66,24 @@ def main() -> None:
     row_nnz = jnp.asarray(np.diff(R.csr_ptr).astype(np.float32))
     col_nnz = jnp.asarray(np.diff(R.csc_ptr).astype(np.float32))
 
-    step = make_outer_step(lam, 1)
-    state = step(state, Md, row_nnz, col_nnz)           # compile + iter 1
-    state = step(state, Md, row_nnz, col_nnz)           # steady-state warmup
+    # fuse the timed iterations into one dispatch (static trip count +
+    # donated state, like the solver's fused_outer_iters path): per-call host
+    # round-trips are ~27 ms through the tunnel and would pollute the
+    # measurement, and non-donated loop carries cost an extra residual copy
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k_iters",), donate_argnums=(0,))
+    def multi(state, Md, row_nnz, col_nnz, k_iters):
+        step = make_outer_step(lam, 1, jit_compile=False)
+        return jax.lax.fori_loop(
+            0, k_iters, lambda i, s: step(s, Md, row_nnz, col_nnz), state)
+
+    # warmup with the same static trip count so only one variant compiles
+    state = multi(state, Md, row_nnz, col_nnz, k_iters=iters_timed)
     _ = float(np.asarray(state.W[0, 0]))                # sync (host readback)
 
     t0 = time.perf_counter()
-    for _ in range(iters_timed):
-        state = step(state, Md, row_nnz, col_nnz)
+    state = multi(state, Md, row_nnz, col_nnz, k_iters=iters_timed)
     _ = float(np.asarray(state.W[0, 0]))                # honest sync
     dt = (time.perf_counter() - t0) / iters_timed
 

@@ -61,6 +61,11 @@ class Config:
     golden: bool = False                   # run REF too and golden_compare
     seed: int = 0                          # factor init seed (reference: srand(0))
     residual_dtype: str = "float32"        # dense CCD residual dtype ("bfloat16" ok)
+    #: Outer iterations fused into one device dispatch (dense CCD). Each
+    #: dispatch costs ~27 ms on a tunneled chip (and ~10s of µs locally);
+    #: fusing amortizes it. Per-iteration RMSE is still computed (on device)
+    #: and reported — only live per-iteration wall-timing coarsens.
+    fused_outer_iters: int = 1
     ell_min_width: int = 8                 # narrowest ELL bucket width (pow2)
     ell_growth: float = 2.0                # bucket width growth bound (padding <= growth)
     ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
@@ -91,7 +96,9 @@ class Config:
         if self.backend != Backend.AUTO:
             return self.backend
         if self.solver == Solver.CCD and m * n <= self.dense_max_cells:
-            import jax
-            return Backend.PALLAS if jax.default_backend() == "tpu" \
-                else Backend.DENSE
+            # Measured on v5e: XLA's own fusion of the dense schedule matches
+            # the Pallas kernel per-pass (218 vs 198 GB/s) and wins end-to-end
+            # because it can fuse across the whole rank body; PALLAS stays an
+            # explicit opt-in backend.
+            return Backend.DENSE
         return Backend.ELL

@@ -38,7 +38,7 @@ from .mesh import AXIS, ell_shardings
 
 
 def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
-                          maxinneriter: int, add_back: bool, axis: str = AXIS):
+                          maxinneriter: int, axis: str = AXIS):
     rows, cols = ell.rows_side.local_view(), ell.cols_side.local_view()
     lam_ = jnp.float32(lam)
 
@@ -54,7 +54,10 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
             u, v = u_old, v_old
             for i in range(maxinneriter):
                 u_ext = gather_full(u)
-                if i == 0 and add_back:
+                if i == 0:
+                    # unconditional add-back: a no-op in outer iteration 1
+                    # while H[t]==0 (the reference's oiter>1 gate at
+                    # src/CCD.cpp:100 is an optimization, not semantics)
                     ug = [u_ext[ix] for ix in idx_c]
                     vals_c = residual_update(idx_c, vals_c, cols, u_ext, v_old,
                                              +1.0, gathered=ug)
@@ -63,7 +66,7 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
                 else:
                     v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
                                             nnz_c)
-                if i == 0 and add_back:
+                if i == 0:
                     stacked = extend_zero(jax.lax.all_gather(
                         jnp.stack([v_old, v], axis=-1), axis, axis=0, tiled=True))
                     G = [stacked[ix] for ix in idx_r]
@@ -129,10 +132,7 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jax.device_put(cols.slot_of_entity[T.col_idx], rep)
     tv = jax.device_put(np.asarray(T.val), rep)
 
-    step_first = make_sharded_ell_step(ell, mesh, cfg.lambda_,
-                                       cfg.maxinneriter, False)
-    step_rest = make_sharded_ell_step(ell, mesh, cfg.lambda_,
-                                      cfg.maxinneriter, True)
+    step = make_sharded_ell_step(ell, mesh, cfg.lambda_, cfg.maxinneriter)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=min(cfg.eval_chunk, 1 << max(10, (max(1, T.nnz) - 1).bit_length()))))
@@ -140,7 +140,6 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     stats: list[IterStats] = []
     for oiter in range(1, cfg.maxiter + 1):
         t0 = time.perf_counter()
-        step = step_first if oiter == 1 else step_rest
         vals_r, vals_c, W, H = step(idx_r, idx_c, vals_r, vals_c, W, H,
                                     nnz_r, nnz_c)
         rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))

@@ -104,7 +104,8 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
     return jnp.where((slot_nnz > 0)[:, None], new, 0.0)
 
 
-def make_als_outer_step(ell: EllPair, lam: float, chunk: int):
+def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
+                        jit_compile: bool = True):
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
 
@@ -113,7 +114,29 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int):
         H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c, chunk)
         return W, H
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(4, 5))
+
+
+def make_als_multi_step(ell: EllPair, lam: float, chunk: int, n_iters: int,
+                        eval_chunk: int):
+    """n_iters ALS iterations + per-iteration on-device RMSE in one dispatch
+    (host round-trips are ~27 ms on a tunneled chip)."""
+    base = make_als_outer_step(ell, lam, chunk, jit_compile=False)
+
+    def multi(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c, ti, tj, tv):
+        def body(i, carry):
+            W, H, rmses = carry
+            W, H = base(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
+            r = calrmse_device(ti, tj, tv, W, H, entity_major=True,
+                               chunk=eval_chunk)
+            return (W, H, jax.lax.dynamic_update_index_in_dim(
+                rmses, r.astype(jnp.float32), i, axis=0))
+        return jax.lax.fori_loop(
+            0, n_iters, body, (W, H, jnp.zeros(n_iters, jnp.float32)))
+
+    return jax.jit(multi, donate_argnums=(4, 5))
 
 
 def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
@@ -150,23 +173,35 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jnp.asarray(cols.slot_of_entity[T.col_idx])
     tv = jnp.asarray(T.val)
 
-    step = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk)
-    rmse_fn = jax.jit(functools.partial(
-        calrmse_device, entity_major=True,
-        chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
+    eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
+    fuse = max(1, cfg.fused_outer_iters)
+    if ckpt_every:
+        fuse = min(fuse, ckpt_every)
+    steps: dict[int, Callable] = {}
 
     stats: list[IterStats] = []
-    for oiter in range(start_oiter, cfg.maxiter + 1):
+    oiter = start_oiter
+    while oiter <= cfg.maxiter:
+        c = min(fuse, cfg.maxiter - oiter + 1)
+        if ckpt_every:
+            c = min(c, ckpt_every - ((oiter - 1) % ckpt_every))
+        if c not in steps:
+            steps[c] = make_als_multi_step(ell, cfg.lambda_, cfg.ell_chunk,
+                                           c, eval_chunk)
         t0 = time.perf_counter()
-        W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
-        rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
-        dt = time.perf_counter() - t0
-        st = IterStats(oiter=oiter, rmse=rmse, rank_time=dt)
-        stats.append(st)
-        if callback:
-            callback(st)
-        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
-            ckpt_fn(oiter, {"W": np.asarray(W), "H": np.asarray(H)})
+        W, H, rmses = steps[c](idx_r, idx_c, vals_r, vals_c, W, H,
+                               nnz_r, nnz_c, ti, tj, tv)
+        rmses = np.asarray(rmses)
+        dt = (time.perf_counter() - t0) / c
+        for j in range(c):
+            st = IterStats(oiter=oiter + j, rmse=float(rmses[j]), rank_time=dt)
+            stats.append(st)
+            if callback:
+                callback(st)
+        oiter += c
+        last = oiter - 1
+        if ckpt_every and ckpt_fn and last % ckpt_every == 0:
+            ckpt_fn(last, {"W": np.asarray(W), "H": np.asarray(H)})
 
     return (np.asarray(W)[rows.slot_of_entity],
             np.asarray(H)[cols.slot_of_entity], stats)

@@ -8,22 +8,25 @@ residual storage (cuda_src/CCD_CUDA.cu:300-316); factors live in slot space
 for the whole run so the hot loop has zero scatters.
 
 Gather budget (the scarce resource on TPU — see ARCHITECTURE.md): per rank at
-maxinneriter=1 steady state this does ~3 nnz-sized gathers instead of a naive
-6, by fusing
+maxinneriter=1 this does ~3 nnz-sized gathers instead of a naive 6, by fusing
   * the cols-side add-back with the v-sweep's gather (same u_old vector),
   * the rows-side add-back + u-sweep into ONE stacked row-gather of
     [v_old, v_new] (same indices, 2-wide rows cost ~1 scalar gather),
   * the rows-side subtract with the u-sweep's gather (same v_new vector).
+The add-back runs unconditionally: in outer iteration 1 ``H[t]`` is still 0,
+so the term vanishes identically and one compiled step covers all iterations
+(the reference's ``oiter > 1`` gate at src/CCD.cpp:100 is an optimization,
+not semantics).
 
 Semantics preserved (SURVEY.md §7): H zeroed at entry (src/CCD.cpp:56-60);
-add-back only from outer iter 2 (src/CCD.cpp:100-103); λ·nnz regularization
-(src/CCD.cpp:112,120); v-sweep before u-sweep each inner iteration
-(src/CCD.cpp:110-121); empty entity -> 0 factor; rank-major factor layout.
+λ·nnz regularization (src/CCD.cpp:112,120); v-sweep before u-sweep each inner
+iteration (src/CCD.cpp:110-121); empty entity -> 0 factor; rank-major factor
+layout. ``fused_outer_iters`` groups outer iterations (and their on-device
+RMSE) into one dispatch — host round-trips are ~27 ms on a tunneled chip.
 """
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable, Optional
 
@@ -40,8 +43,8 @@ from .reference import IterStats
 
 
 def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
-                        add_back: bool):
-    """One jitted outer iteration over all k ranks (lax.fori_loop)."""
+                        jit_compile: bool = True):
+    """One outer iteration over all k ranks (lax.fori_loop)."""
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
 
@@ -54,7 +57,7 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
             for i in range(maxinneriter):
                 # ---- v-sweep (cols side), add-back fused into its gather ----
                 u_ext = extend_zero(u)
-                if i == 0 and add_back:
+                if i == 0:
                     ug = [u_ext[ix] for ix in idx_c]
                     vals_c = residual_update(idx_c, vals_c, cols, u_ext, v_old,
                                              +1.0, gathered=ug)
@@ -64,7 +67,7 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
                     v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
                                             rnnz_c)
                 # ---- u-sweep (rows side) ----
-                if i == 0 and add_back:
+                if i == 0:
                     # one stacked row-gather serves add-back (v_old) and sweep
                     stacked = extend_zero(jnp.stack([v_old, v], axis=-1))
                     G = [stacked[ix] for ix in idx_r]
@@ -87,7 +90,29 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
         k = W.shape[0]
         return jax.lax.fori_loop(0, k, rank_body, (vals_r, vals_c, W, H))
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(2, 3, 4, 5))
+
+
+def make_ell_multi_step(ell: EllPair, lam: float, maxinneriter: int,
+                        n_iters: int, eval_chunk: int):
+    base = make_ell_outer_step(ell, lam, maxinneriter, jit_compile=False)
+
+    def multi(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c, ti, tj, tv):
+        def body(i, carry):
+            vals_r, vals_c, W, H, rmses = carry
+            vals_r, vals_c, W, H = base(idx_r, idx_c, vals_r, vals_c, W, H,
+                                        rnnz_r, rnnz_c)
+            r = calrmse_device(ti, tj, tv, W, H, entity_major=False,
+                               chunk=eval_chunk)
+            rmses = jax.lax.dynamic_update_index_in_dim(
+                rmses, r.astype(jnp.float32), i, axis=0)
+            return (vals_r, vals_c, W, H, rmses)
+        init = (vals_r, vals_c, W, H, jnp.zeros(n_iters, jnp.float32))
+        return jax.lax.fori_loop(0, n_iters, body, init)
+
+    return jax.jit(multi, donate_argnums=(2, 3, 4, 5))
 
 
 def factors_to_slots(F: np.ndarray, side) -> np.ndarray:
@@ -134,31 +159,40 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jnp.asarray(cols.slot_of_entity[T.col_idx])
     tv = jnp.asarray(T.val)
 
-    step_first = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter, False)
-    step_rest = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter, True)
-    rmse_fn = jax.jit(functools.partial(
-        calrmse_device, entity_major=False,
-        chunk=min(cfg.eval_chunk, _pow2_ge(T.nnz))))
+    eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
+    fuse = max(1, cfg.fused_outer_iters)
+    if ckpt_every:
+        fuse = min(fuse, ckpt_every)
+    steps: dict[int, Callable] = {}
 
     stats: list[IterStats] = []
-    for oiter in range(start_oiter, cfg.maxiter + 1):
+    oiter = start_oiter
+    while oiter <= cfg.maxiter:
+        c = min(fuse, cfg.maxiter - oiter + 1)
+        if ckpt_every:
+            c = min(c, ckpt_every - ((oiter - 1) % ckpt_every))
+        if c not in steps:
+            steps[c] = make_ell_multi_step(ell, cfg.lambda_, cfg.maxinneriter,
+                                           c, eval_chunk)
         t0 = time.perf_counter()
-        step = step_first if oiter == 1 else step_rest
-        vals_r, vals_c, W, H = step(idx_r, idx_c, vals_r, vals_c, W, H,
-                                    rnnz_r, rnnz_c)
-        rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
-        dt = time.perf_counter() - t0
-        st = IterStats(oiter=oiter, rmse=rmse, rank_time=dt)
-        stats.append(st)
-        if callback:
-            callback(st)
-        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
+        vals_r, vals_c, W, H, rmses = steps[c](
+            idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c, ti, tj, tv)
+        rmses = np.asarray(rmses)
+        dt = (time.perf_counter() - t0) / c
+        for j in range(c):
+            st = IterStats(oiter=oiter + j, rmse=float(rmses[j]), rank_time=dt)
+            stats.append(st)
+            if callback:
+                callback(st)
+        oiter += c
+        last = oiter - 1
+        if ckpt_every and ckpt_fn and last % ckpt_every == 0:
             payload = {"W": np.asarray(W), "H": np.asarray(H)}
             for i, v_ in enumerate(vals_r):
                 payload[f"vals_r_{i}"] = np.asarray(v_)
             for i, v_ in enumerate(vals_c):
                 payload[f"vals_c_{i}"] = np.asarray(v_)
-            ckpt_fn(oiter, payload)
+            ckpt_fn(last, payload)
 
     W_ent = np.asarray(W)[:, rows.slot_of_entity]
     H_ent = np.asarray(H)[:, cols.slot_of_entity]

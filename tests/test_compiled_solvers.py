@@ -69,6 +69,43 @@ def test_ccd_backends_agree_inner2(tiny_data):
     np.testing.assert_allclose(Hd, He, atol=1e-4)
 
 
+def test_ccd_dense_fused_iters_equivalent(small_data):
+    """fused_outer_iters groups dispatches without changing results."""
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    cfg1 = Config(k=K, maxiter=5, lambda_=0.1, backend="dense")
+    cfg3 = Config(k=K, maxiter=5, lambda_=0.1, backend="dense",
+                  fused_outer_iters=3)
+    W1, H1, s1 = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg1)
+    W3, H3, s3 = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg3)
+    np.testing.assert_allclose(W1, W3, atol=1e-6)
+    np.testing.assert_allclose(H1, H3, atol=1e-6)
+    assert [s.oiter for s in s3] == [1, 2, 3, 4, 5]
+    for a, b in zip(s1, s3):
+        assert abs(a.rmse - b.rmse) < 1e-5
+
+
+def test_ell_and_als_fused_iters_equivalent(small_data):
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    c1 = Config(k=K, maxiter=5, lambda_=0.1, backend="ell")
+    c3 = Config(k=K, maxiter=5, lambda_=0.1, backend="ell",
+                fused_outer_iters=3)
+    W1, H1, _ = ccd_ell_train(R, W0.copy(), H0.copy(), T, c1)
+    W3, H3, _ = ccd_ell_train(R, W0.copy(), H0.copy(), T, c3)
+    np.testing.assert_allclose(W1, W3, atol=1e-6)
+
+    Wa, Ha = init_factors_np(K, R.rows, R.cols, seed=0, entity_major=True)
+    a1 = Config(solver="als", k=K, maxiter=4, lambda_=0.1)
+    a2 = Config(solver="als", k=K, maxiter=4, lambda_=0.1,
+                fused_outer_iters=4)
+    Wx, _, sx = als_ell_train(R, Wa.copy(), Ha.copy(), T, a1)
+    Wy, _, sy = als_ell_train(R, Wa.copy(), Ha.copy(), T, a2)
+    np.testing.assert_allclose(Wx, Wy, atol=1e-6)
+    for a, b in zip(sx, sy):
+        assert abs(a.rmse - b.rmse) < 1e-5
+
+
 def test_als_ell_golden(small_data, als_golden):
     R, T = small_data
     W0, H0, Wr, Hr, stats_r = als_golden
