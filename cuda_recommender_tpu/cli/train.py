@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--golden", action="store_true", dest="golden")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard over an N-device mesh (0 = single device)")
+    p.add_argument("--mesh2d", default=None, metavar="AxB",
+                   help="2-D (users x items) mesh for the dense CCD backend")
+    p.add_argument("--fused-iters", type=int, default=1, dest="fused_iters",
+                   help="outer iterations fused per device dispatch")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--residual-dtype", default="float32",
                    choices=["float32", "bfloat16"])
@@ -100,6 +104,7 @@ def main(argv=None) -> int:
         threads=args.threads, backend=Backend(args.backend),
         golden=args.golden, seed=args.seed,
         residual_dtype=args.residual_dtype, data_dir=args.data_dir,
+        fused_outer_iters=args.fused_iters,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_file=args.metrics_file,
@@ -109,7 +114,11 @@ def main(argv=None) -> int:
           f"test nnz={T.nnz}", flush=True)
 
     mesh = None
-    if args.mesh:
+    if args.mesh2d:
+        from ..parallel.mesh import make_mesh_2d
+        a, b = (int(x) for x in args.mesh2d.lower().split("x"))
+        mesh = make_mesh_2d((a, b))
+    elif args.mesh:
         import jax
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(jax.devices()[:args.mesh])

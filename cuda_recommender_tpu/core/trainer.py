@@ -78,8 +78,11 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         return ccd_pallas_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.DENSE:
         if mesh is not None:
-            from ..parallel.mesh import dense_ccd_shardings
-            kw["shardings"] = dense_ccd_shardings(mesh)
+            from ..parallel.mesh import (dense_ccd_shardings,
+                                         dense_ccd_shardings_2d)
+            kw["shardings"] = (dense_ccd_shardings_2d(mesh)
+                               if mesh.devices.ndim == 2
+                               else dense_ccd_shardings(mesh))
         return ccd_dense_train(R, W0, H0, T, cfg, **kw)
     if mesh is not None:
         if resume is not None or ckpt is not None:

@@ -32,8 +32,41 @@ def dense_ccd_shardings(mesh: Mesh, axis_name: str = AXIS) -> dict:
     return {
         "rowmat": NamedSharding(mesh, P(axis_name, None)),
         "rowvec": NamedSharding(mesh, P(axis_name)),
+        "colvec": NamedSharding(mesh, P()),
         "colshard_k_m": NamedSharding(mesh, P(None, axis_name)),
+        "colshard_k_n": NamedSharding(mesh, P()),
         "rep": NamedSharding(mesh, P()),
+        "_divs": (mesh.devices.size, 1),
+    }
+
+
+def make_mesh_2d(shape: tuple[int, int],
+                 devices: Optional[Sequence] = None,
+                 axis_names: tuple[str, str] = ("u", "i")) -> Mesh:
+    """2-D (users, items) mesh for the dense CCD path."""
+    devs = list(devices) if devices is not None else jax.devices()
+    a, b = shape
+    if a * b > len(devs):
+        raise ValueError(f"mesh {shape} needs {a*b} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:a * b]).reshape(a, b), axis_names)
+
+
+def dense_ccd_shardings_2d(mesh: Mesh) -> dict:
+    """2-D dense CCD sharding: residual/mask blocked (users, items), W
+    sharded over the user axis, H over the item axis. XLA inserts the
+    v-sweep's psum over the user axis and the u-sweep's over the item axis
+    (both ride ICI); every chip holds an (m/a, n/b) residual block — the
+    layout that scales Netflix-sized dense residuals past one chip's HBM."""
+    ua, ia = mesh.axis_names
+    a, b = mesh.devices.shape
+    return {
+        "rowmat": NamedSharding(mesh, P(ua, ia)),
+        "rowvec": NamedSharding(mesh, P(ua)),
+        "colvec": NamedSharding(mesh, P(ia)),
+        "colshard_k_m": NamedSharding(mesh, P(None, ua)),
+        "colshard_k_n": NamedSharding(mesh, P(None, ia)),
+        "rep": NamedSharding(mesh, P()),
+        "_divs": (a, b),
     }
 
 

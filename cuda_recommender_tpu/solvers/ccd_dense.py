@@ -162,20 +162,22 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     row_nnz = np.diff(R.csr_ptr).astype(np.float32)
     col_nnz = np.diff(R.csc_ptr).astype(np.float32)
 
-    # Sharded execution: pad the user axis to a multiple of the mesh size.
-    # Pad rows are all-zero mask/residual and start with zero factors, so
-    # every sweep keeps them exactly 0 (empty-entity rule, src/CCD.cpp:8).
-    m = R.rows
+    # Sharded execution: pad each sharded axis to a multiple of its mesh
+    # dimension (1-D meshes shard users only; 2-D meshes block both axes).
+    # Pad entities are all-zero mask/residual with zero factors, so every
+    # sweep keeps them exactly 0 (empty-entity rule, src/CCD.cpp:8).
+    m, n = R.rows, R.cols
     if shardings is not None:
-        n_dev = shardings["rowmat"].mesh.devices.size
-        m_pad = (-m) % n_dev
-        if m_pad:
-            Rd = np.pad(Rd, ((0, m_pad), (0, 0)))
-            Md = np.pad(Md, ((0, m_pad), (0, 0)))
+        row_div, col_div = shardings.get("_divs", (1, 1))
+        m_pad, n_pad = (-m) % row_div, (-n) % col_div
+        if m_pad or n_pad:
+            Rd = np.pad(Rd, ((0, m_pad), (0, n_pad)))
+            Md = np.pad(Md, ((0, m_pad), (0, n_pad)))
             row_nnz = np.pad(row_nnz, (0, m_pad))
+            col_nnz = np.pad(col_nnz, (0, n_pad))
             W0 = np.pad(np.asarray(W0, np.float32), ((0, 0), (0, m_pad)))
-    mp = Rd.shape[0]
-    n = R.cols
+            H0 = np.pad(np.asarray(H0, np.float32), ((0, 0), (0, n_pad)))
+    mp, np_ = Rd.shape
 
     put = functools.partial(_put, shardings)
     mask = put(Md.astype(jnp.bfloat16), "rowmat")     # {0,1} exact in bf16
@@ -185,20 +187,21 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         state = DenseState(
             Rhat=put(resume["Rhat"].astype(rdt), "rowmat"),
             W=put(resume["W"].astype(np.float32), "colshard_k_m"),
-            H=put(resume["H"].astype(np.float32), "rep"),
+            H=put(resume["H"].astype(np.float32), "colshard_k_n"),
             u_pend=put(resume["u_pend"].astype(np.float32), "rowvec"),
-            v_pend=put(resume["v_pend"].astype(np.float32), "rep"),
+            v_pend=put(resume["v_pend"].astype(np.float32), "colvec"),
         )
     else:
         state = DenseState(
             Rhat=put(Rd, "rowmat"),
             W=put(np.asarray(W0, np.float32), "colshard_k_m"),
-            H=put(np.zeros_like(H0, dtype=np.float32), "rep"),  # src/CCD.cpp:56-60
+            H=put(np.zeros_like(np.asarray(H0), dtype=np.float32),
+                  "colshard_k_n"),                    # src/CCD.cpp:56-60
             u_pend=put(np.zeros(mp, np.float32), "rowvec"),
-            v_pend=put(np.zeros(n, np.float32), "rep"),
+            v_pend=put(np.zeros(np_, np.float32), "colvec"),
         )
     row_nnz_d = put(row_nnz, "rowvec")
-    col_nnz_d = put(col_nnz, "rep")
+    col_nnz_d = put(col_nnz, "colvec")
     ti = put(np.asarray(T.row_idx), "rep")
     tj = put(np.asarray(T.col_idx), "rep")
     tv = put(np.asarray(T.val), "rep")
@@ -236,7 +239,7 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                            "Rhat": np.asarray(state.Rhat),
                            "u_pend": np.asarray(state.u_pend),
                            "v_pend": np.asarray(state.v_pend)})
-    return np.asarray(state.W)[:, :m], np.asarray(state.H), stats
+    return np.asarray(state.W)[:, :m], np.asarray(state.H)[:, :n], stats
 
 
 def _pow2_ge(x: int) -> int:

@@ -71,3 +71,21 @@ def test_ccd_dense_pjit_matches_single(small_data, mesh):
                                 shardings=dense_ccd_shardings(mesh))
     np.testing.assert_allclose(W1, WN, atol=2e-5)
     np.testing.assert_allclose(H1, HN, atol=2e-5)
+
+
+def test_ccd_dense_pjit_2d_mesh(small_data):
+    """2-D (users x items) blocked residual: both sweep psums ride the mesh."""
+    from cuda_recommender_tpu.parallel.mesh import (dense_ccd_shardings_2d,
+                                                    make_mesh_2d)
+
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    cfg = Config(k=K, maxiter=2, maxinneriter=1, lambda_=0.1, backend="dense")
+    W1, H1, s1 = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg)
+    mesh2 = make_mesh_2d((4, 2))
+    WN, HN, sN = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg,
+                                 shardings=dense_ccd_shardings_2d(mesh2))
+    np.testing.assert_allclose(W1, WN, atol=2e-5)
+    np.testing.assert_allclose(H1, HN, atol=2e-5)
+    for a, b in zip(s1, sN):
+        assert abs(a.rmse - b.rmse) < 1e-4
