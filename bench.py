@@ -66,24 +66,17 @@ def main() -> None:
     row_nnz = jnp.asarray(np.diff(R.csr_ptr).astype(np.float32))
     col_nnz = jnp.asarray(np.diff(R.csc_ptr).astype(np.float32))
 
-    # fuse the timed iterations into one dispatch (static trip count +
-    # donated state, like the solver's fused_outer_iters path): per-call host
-    # round-trips are ~27 ms through the tunnel and would pollute the
-    # measurement, and non-donated loop carries cost an extra residual copy
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("k_iters",), donate_argnums=(0,))
-    def multi(state, Md, row_nnz, col_nnz, k_iters):
-        step = make_outer_step(lam, 1, jit_compile=False)
-        return jax.lax.fori_loop(
-            0, k_iters, lambda i, s: step(s, Md, row_nnz, col_nnz), state)
-
-    # warmup with the same static trip count so only one variant compiles
-    state = multi(state, Md, row_nnz, col_nnz, k_iters=iters_timed)
+    # Back-to-back async dispatches with donated state: calls queue on the
+    # device and pipeline, so per-call host latency hides; a fused fori_loop
+    # measured SLOWER (191 vs 180 ms/iter) from while-loop carry copies.
+    step = make_outer_step(lam, 1)
+    state = step(state, Md, row_nnz, col_nnz)           # compile
+    state = step(state, Md, row_nnz, col_nnz)           # warmup
     _ = float(np.asarray(state.W[0, 0]))                # sync (host readback)
 
     t0 = time.perf_counter()
-    state = multi(state, Md, row_nnz, col_nnz, k_iters=iters_timed)
+    for _ in range(iters_timed):
+        state = step(state, Md, row_nnz, col_nnz)
     _ = float(np.asarray(state.W[0, 0]))                # honest sync
     dt = (time.perf_counter() - t0) / iters_timed
 
@@ -92,11 +85,11 @@ def main() -> None:
                      / HBM_BYTES_PER_S)
     vs_sol = dt and (sol_iter_time / dt)
 
-    # convergence sanity on the side (not timed)
-    from cuda_recommender_tpu.eval.metrics import calrmse_device
-    rmse = float(np.asarray(calrmse_device(
-        jnp.asarray(T.row_idx), jnp.asarray(T.col_idx), jnp.asarray(T.val),
-        state.W, state.H, entity_major=False)))
+    # convergence sanity on the side (host-side fp64 — avoids one more
+    # remote compile; each jitted program costs ~3 min through the tunnel)
+    from cuda_recommender_tpu.eval.metrics import calrmse_np
+    rmse = calrmse_np(T, np.asarray(state.W), np.asarray(state.H),
+                      entity_major=False)
 
     print(json.dumps({
         "metric": "ccd_sweep_throughput",

@@ -1,0 +1,98 @@
+"""Serving benchmark: MIPS top-k retrieval QPS + recall@k.
+
+The north-star serving harness (BASELINE.json config #5): train (or load)
+factors, then measure streaming top-k retrieval throughput over the item
+table and recall@k against held-out interactions. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cuda_recommender_tpu.cli.bench_serve")
+    p.add_argument("--model", default=None,
+                   help="saved model file; default trains ALS on synthetic")
+    p.add_argument("--dataset", default="synthetic:m=69878,n=10677,nnz=5000000")
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--chunk", type=int, default=2048)
+    p.add_argument("--queries", type=int, default=8192)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..core.config import Config
+    from ..core.init import init_factors_np
+    from ..data import datasets
+    from ..eval.ranking import recall_at_k
+    from ..serve.retrieval import topk_mips, topk_mips_device
+    from ..solvers.als_ell import als_ell_train
+
+    spec = datasets.parse_synthetic_spec(args.dataset)
+    R, T = datasets.synthetic(**{k: int(v) for k, v in spec.items()})
+
+    if args.model:
+        from ..data.binfmt import load_model
+        W, H = load_model(args.model, entity_major=True)
+    else:
+        W0, H0 = init_factors_np(16, R.rows, R.cols, seed=0, entity_major=True)
+        cfg = Config(solver="als", k=16, maxiter=4, lambda_=0.05,
+                     fused_outer_iters=4)
+        W, H, _ = als_ell_train(R, W0, H0, T, cfg)
+
+    n, k = H.shape
+    pad = (-n) % args.chunk
+    Hp = np.pad(H.astype(np.float32), ((0, pad), (0, 0)))
+    Hd = jnp.asarray(Hp)
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, W.shape[0], args.queries).astype(np.int64)
+
+    # one warmup batch compiles the streaming kernel
+    U0 = jnp.asarray(W[users[:args.batch]].astype(np.float32))
+    s, i = topk_mips_device(U0, Hd, topk=args.topk, chunk=args.chunk)
+    np.asarray(s)
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.queries:
+        b = users[done:done + args.batch]
+        if len(b) < args.batch:
+            b = np.pad(b, (0, args.batch - len(b)))
+        U = jnp.asarray(W[b].astype(np.float32))
+        s, i = topk_mips_device(U, Hd, topk=args.topk, chunk=args.chunk)
+        done += args.batch
+    np.asarray(s)                              # honest completion fence
+    dt = time.perf_counter() - t0
+    qps = args.queries / dt
+
+    # recall@k on a sample of users with held-out items
+    sample = np.unique(T.row_idx)[:512]
+    relevant = [T.col_idx[T.row_idx == u] for u in sample]
+    exclude = {int(u): R.csr_idx[R.csr_ptr[u]:R.csr_ptr[u + 1]]
+               for u in sample}
+    _, items = topk_mips(W, H, sample, topk=args.topk, chunk=args.chunk,
+                         exclude=exclude)
+    rec = recall_at_k(items, relevant)
+
+    print(json.dumps({
+        "metric": f"mips_top{args.topk}_qps",
+        "value": round(qps, 1),
+        "unit": "queries/s/chip",
+        "vs_baseline": round(rec, 4),
+        "detail": {"recall_at_k": round(rec, 4), "topk": args.topk,
+                   "items": n, "rank": k, "batch": args.batch,
+                   "note": "vs_baseline field carries recall@k (reference "
+                           "has no serving benchmark)"},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

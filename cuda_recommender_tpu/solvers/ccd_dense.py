@@ -107,27 +107,6 @@ def make_outer_step(lam: float, maxinneriter: int,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_multi_step(lam: float, maxinneriter: int, n_iters: int,
-                    eval_chunk: int, residual_dtype=jnp.float32):
-    """``n_iters`` outer iterations + per-iteration on-device RMSE in ONE
-    dispatch. Host↔device round-trips cost ~27 ms on a tunneled chip (and
-    are pure overhead everywhere); at ml10M scale one outer iteration is
-    ~150 ms of real work, so fusing 5 iterations saves ~25% wall clock."""
-    base = make_outer_step(lam, maxinneriter, residual_dtype=residual_dtype,
-                           jit_compile=False)
-
-    def multi(state, mask, row_nnz, col_nnz, ti, tj, tv):
-        def body(i, carry):
-            state, rmses = carry
-            state = base(state, mask, row_nnz, col_nnz)
-            r = calrmse_device(ti, tj, tv, state.W, state.H,
-                               entity_major=False, chunk=eval_chunk)
-            return (state, jax.lax.dynamic_update_index_in_dim(
-                rmses, r.astype(jnp.float32), i, axis=0))
-        init = (state, jnp.zeros(n_iters, jnp.float32))
-        return jax.lax.fori_loop(0, n_iters, body, init)
-
-    return jax.jit(multi, donate_argnums=(0,), static_argnums=())
 
 
 def build_dense_inputs(R: RatingMatrix, dtype=np.float32):
@@ -207,38 +186,45 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = put(np.asarray(T.val), "rep")
 
     eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
-    fuse = max(1, cfg.fused_outer_iters)
-    if ckpt_every:
-        fuse = min(fuse, ckpt_every)     # keep checkpoint cadence exact
-    multi_steps: dict[int, Callable] = {}
+    step_fn = make_outer_step(cfg.lambda_, cfg.maxinneriter,
+                              residual_dtype=rdt)
+    rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=False,
+                                        chunk=eval_chunk))
 
+    # Async-pipelined loop: enqueue `fuse` (step, rmse) pairs back-to-back,
+    # read the tiny RMSE scalars back once per group. Per-iteration host
+    # readback costs ~27 ms on a tunneled chip; queued dispatches overlap
+    # with device execution (a fused fori_loop measured slower — while-loop
+    # carry copies — so grouping dispatches, not tracing, is the win).
+    fuse = max(1, cfg.fused_outer_iters)
     stats: list[IterStats] = []
-    oiter = start_oiter
-    while oiter <= cfg.maxiter:
-        c = min(fuse, cfg.maxiter - oiter + 1)
-        if ckpt_every:       # end chunks exactly on checkpoint multiples
-            c = min(c, ckpt_every - ((oiter - 1) % ckpt_every))
-        if c not in multi_steps:
-            multi_steps[c] = make_multi_step(cfg.lambda_, cfg.maxinneriter,
-                                             c, eval_chunk,
-                                             residual_dtype=rdt)
-        t0 = time.perf_counter()
-        state, rmses = multi_steps[c](state, mask, row_nnz_d, col_nnz_d,
-                                      ti, tj, tv)
-        rmses = np.asarray(rmses)
-        dt = (time.perf_counter() - t0) / c
-        for j in range(c):
-            st = IterStats(oiter=oiter + j, rmse=float(rmses[j]), rank_time=dt)
+    pending: list[tuple[int, jnp.ndarray]] = []
+
+    def flush(t0):
+        if not pending:
+            return t0
+        dt = (time.perf_counter() - t0) / len(pending)
+        for o, r in pending:
+            st = IterStats(oiter=o, rmse=float(np.asarray(r)), rank_time=dt)
             stats.append(st)
             if callback:
                 callback(st)
-        oiter += c
-        last = oiter - 1
-        if ckpt_every and ckpt_fn and last % ckpt_every == 0:
-            ckpt_fn(last, {"W": np.asarray(state.W), "H": np.asarray(state.H),
-                           "Rhat": np.asarray(state.Rhat),
-                           "u_pend": np.asarray(state.u_pend),
-                           "v_pend": np.asarray(state.v_pend)})
+        pending.clear()
+        return time.perf_counter()
+
+    t0 = time.perf_counter()
+    for oiter in range(start_oiter, cfg.maxiter + 1):
+        state = step_fn(state, mask, row_nnz_d, col_nnz_d)
+        pending.append((oiter, rmse_fn(ti, tj, tv, state.W, state.H)))
+        at_ckpt = ckpt_every and oiter % ckpt_every == 0
+        if len(pending) >= fuse or at_ckpt or oiter == cfg.maxiter:
+            t0 = flush(t0)
+        if at_ckpt and ckpt_fn:
+            ckpt_fn(oiter, {"W": np.asarray(state.W),
+                            "H": np.asarray(state.H),
+                            "Rhat": np.asarray(state.Rhat),
+                            "u_pend": np.asarray(state.u_pend),
+                            "v_pend": np.asarray(state.v_pend)})
     return np.asarray(state.W)[:, :m], np.asarray(state.H)[:, :n], stats
 
 

@@ -95,26 +95,6 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
     return jax.jit(step, donate_argnums=(2, 3, 4, 5))
 
 
-def make_ell_multi_step(ell: EllPair, lam: float, maxinneriter: int,
-                        n_iters: int, eval_chunk: int):
-    base = make_ell_outer_step(ell, lam, maxinneriter, jit_compile=False)
-
-    def multi(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c, ti, tj, tv):
-        def body(i, carry):
-            vals_r, vals_c, W, H, rmses = carry
-            vals_r, vals_c, W, H = base(idx_r, idx_c, vals_r, vals_c, W, H,
-                                        rnnz_r, rnnz_c)
-            r = calrmse_device(ti, tj, tv, W, H, entity_major=False,
-                               chunk=eval_chunk)
-            rmses = jax.lax.dynamic_update_index_in_dim(
-                rmses, r.astype(jnp.float32), i, axis=0)
-            return (vals_r, vals_c, W, H, rmses)
-        init = (vals_r, vals_c, W, H, jnp.zeros(n_iters, jnp.float32))
-        return jax.lax.fori_loop(0, n_iters, body, init)
-
-    return jax.jit(multi, donate_argnums=(2, 3, 4, 5))
-
-
 def factors_to_slots(F: np.ndarray, side) -> np.ndarray:
     """(k, n_entities) entity order -> (k, n_slots) slot space."""
     out = np.zeros((F.shape[0], side.n_slots), dtype=np.float32)
@@ -160,39 +140,43 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = jnp.asarray(T.val)
 
     eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
-    fuse = max(1, cfg.fused_outer_iters)
-    if ckpt_every:
-        fuse = min(fuse, ckpt_every)
-    steps: dict[int, Callable] = {}
+    step_fn = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter)
+    import functools
+    rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=False,
+                                        chunk=eval_chunk))
 
+    # async-pipelined loop with grouped RMSE readback (see ccd_dense.py)
+    fuse = max(1, cfg.fused_outer_iters)
     stats: list[IterStats] = []
-    oiter = start_oiter
-    while oiter <= cfg.maxiter:
-        c = min(fuse, cfg.maxiter - oiter + 1)
-        if ckpt_every:
-            c = min(c, ckpt_every - ((oiter - 1) % ckpt_every))
-        if c not in steps:
-            steps[c] = make_ell_multi_step(ell, cfg.lambda_, cfg.maxinneriter,
-                                           c, eval_chunk)
-        t0 = time.perf_counter()
-        vals_r, vals_c, W, H, rmses = steps[c](
-            idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c, ti, tj, tv)
-        rmses = np.asarray(rmses)
-        dt = (time.perf_counter() - t0) / c
-        for j in range(c):
-            st = IterStats(oiter=oiter + j, rmse=float(rmses[j]), rank_time=dt)
+    pending: list[tuple[int, jnp.ndarray]] = []
+
+    def flush(t0):
+        if not pending:
+            return t0
+        dt = (time.perf_counter() - t0) / len(pending)
+        for o, r in pending:
+            st = IterStats(oiter=o, rmse=float(np.asarray(r)), rank_time=dt)
             stats.append(st)
             if callback:
                 callback(st)
-        oiter += c
-        last = oiter - 1
-        if ckpt_every and ckpt_fn and last % ckpt_every == 0:
+        pending.clear()
+        return time.perf_counter()
+
+    t0 = time.perf_counter()
+    for oiter in range(start_oiter, cfg.maxiter + 1):
+        vals_r, vals_c, W, H = step_fn(idx_r, idx_c, vals_r, vals_c, W, H,
+                                       rnnz_r, rnnz_c)
+        pending.append((oiter, rmse_fn(ti, tj, tv, W, H)))
+        at_ckpt = ckpt_every and oiter % ckpt_every == 0
+        if len(pending) >= fuse or at_ckpt or oiter == cfg.maxiter:
+            t0 = flush(t0)
+        if at_ckpt and ckpt_fn:
             payload = {"W": np.asarray(W), "H": np.asarray(H)}
             for i, v_ in enumerate(vals_r):
                 payload[f"vals_r_{i}"] = np.asarray(v_)
             for i, v_ in enumerate(vals_c):
                 payload[f"vals_c_{i}"] = np.asarray(v_)
-            ckpt_fn(last, payload)
+            ckpt_fn(oiter, payload)
 
     W_ent = np.asarray(W)[:, rows.slot_of_entity]
     H_ent = np.asarray(H)[:, cols.slot_of_entity]
