@@ -64,8 +64,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.dataset.startswith("synthetic:"):
-        spec = datasets.parse_synthetic_spec(args.dataset)
-        R, T = datasets.synthetic(**{k: int(v) for k, v in spec.items()})
+        R, T = datasets.synthetic_from_spec(args.dataset)
     else:
         from ..data import binfmt
         R, T = binfmt.load_binary_dataset(args.dataset)

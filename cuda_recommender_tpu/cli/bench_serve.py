@@ -35,8 +35,7 @@ def main(argv=None) -> int:
     from ..serve.retrieval import topk_mips, topk_mips_device
     from ..solvers.als_ell import als_ell_train
 
-    spec = datasets.parse_synthetic_spec(args.dataset)
-    R, T = datasets.synthetic(**{k: int(v) for k, v in spec.items()})
+    R, T = datasets.synthetic_from_spec(args.dataset)
 
     if args.model:
         from ..data.binfmt import load_model

@@ -81,9 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
 def load_data(args):
     import os
     if args.dataset:
-        spec = datasets.parse_synthetic_spec(args.dataset)
-        spec = {k: int(v) if k != "noise" else v for k, v in spec.items()}
-        return datasets.synthetic(**spec)
+        return datasets.synthetic_from_spec(args.dataset)
     if not args.data_dir:
         raise SystemExit("need a data_dir or --dataset spec")
     from ..data import binfmt

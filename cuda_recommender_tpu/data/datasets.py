@@ -80,6 +80,15 @@ def parse_synthetic_spec(spec: str) -> dict:
     return out
 
 
+def synthetic_from_spec(spec: str) -> tuple[RatingMatrix, TestCOO]:
+    """One-call CLI helper: spec string -> dataset, with float-valued knobs
+    (noise, test_fraction) kept as floats and counts as ints."""
+    kw = parse_synthetic_spec(spec)
+    float_keys = {"noise", "test_fraction"}
+    kw = {k: (float(v) if k in float_keys else int(v)) for k, v in kw.items()}
+    return synthetic(**kw)
+
+
 def load_text_ratings(path: str, *, one_based: bool = True) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse 'user item rating [...]' text lines (MovieLens ML-style, also the
     reference's text test-file format at src/pmf_util.h:155-168)."""
