@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--queries", type=int, default=8192)
+    p.add_argument("--rel-threshold", type=float, default=4.0,
+                   help="held-out items with rating >= this count as "
+                        "relevant (rating-MF retrieves by predicted rating, "
+                        "so 'was rated at all' would measure popularity, "
+                        "which rating factors do not encode)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -71,9 +76,10 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     qps = args.queries / dt
 
-    # recall@k on a sample of users with held-out items
-    sample = np.unique(T.row_idx)[:512]
-    relevant = [T.col_idx[T.row_idx == u] for u in sample]
+    # recall@k on a sample of users, relevance = high-rated held-out items
+    hi = T.val >= args.rel_threshold
+    sample = np.unique(T.row_idx[hi])[:512]
+    relevant = [T.col_idx[hi][T.row_idx[hi] == u] for u in sample]
     exclude = {int(u): R.csr_idx[R.csr_ptr[u]:R.csr_ptr[u + 1]]
                for u in sample}
     _, items = topk_mips(W, H, sample, topk=args.topk, chunk=args.chunk,

@@ -46,26 +46,31 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
         """Local slot block -> global slot table (+ trailing zero slot)."""
         return extend_zero(jax.lax.all_gather(x_loc, axis, axis=0, tiled=True))
 
-    def step_local(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
+    def step_local(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c,
+                   u_pend, v_pend):
         def rank_body(t, carry):
-            vals_r, vals_c, W, H = carry
+            vals_r, vals_c, W, H, u_pend, v_pend = carry
             u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]   # local slots
             v_old = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
             u, v = u_old, v_old
             for i in range(maxinneriter):
-                u_ext = gather_full(u)
                 if i == 0:
-                    # unconditional add-back: a no-op in outer iteration 1
-                    # while H[t]==0 (the reference's oiter>1 gate at
-                    # src/CCD.cpp:100 is an optimization, not semantics)
-                    ug = [u_ext[ix] for ix in idx_c]
-                    vals_c = residual_update(idx_c, vals_c, cols, u_ext, v_old,
-                                             +1.0, gathered=ug)
-                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
-                                            nnz_c, gathered=ug)
+                    # deferred cols-side subtract of the previous rank +
+                    # unconditional add-back + sweep, off ONE stacked
+                    # all_gather of [u_pend, u_old] (solvers/ccd_ell.py)
+                    stacked_c = extend_zero(jax.lax.all_gather(
+                        jnp.stack([u_pend, u_old], axis=-1), axis, axis=0,
+                        tiled=True))
+                    Gc = [stacked_c[ix] for ix in idx_c]
+                    vals_c = residual_update(idx_c, vals_c, cols, None, v_pend,
+                                             -1.0, gathered=[g[..., 0] for g in Gc])
+                    vals_c = residual_update(idx_c, vals_c, cols, None, v_old,
+                                             +1.0, gathered=[g[..., 1] for g in Gc])
+                    v, _ = sweep_new_values(idx_c, vals_c, cols, None, lam_,
+                                            nnz_c, gathered=[g[..., 1] for g in Gc])
                 else:
-                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
-                                            nnz_c)
+                    v, _ = sweep_new_values(idx_c, vals_c, cols,
+                                            gather_full(u), lam_, nnz_c)
                 if i == 0:
                     stacked = extend_zero(jax.lax.all_gather(
                         jnp.stack([v_old, v], axis=-1), axis, axis=0, tiled=True))
@@ -81,24 +86,24 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
             vals_r = residual_update(idx_r, vals_r, rows, None, u, -1.0,
                                      gathered=vg)
-            vals_c = residual_update(idx_c, vals_c, cols, gather_full(u), v,
-                                     -1.0)
-            return (vals_r, vals_c, W, H)
+            return (vals_r, vals_c, W, H, u, v)
 
         k = W.shape[0]
-        return jax.lax.fori_loop(0, k, rank_body, (vals_r, vals_c, W, H))
+        return jax.lax.fori_loop(
+            0, k, rank_body, (vals_r, vals_c, W, H, u_pend, v_pend))
 
     nb_r = len(rows.buckets)
     nb_c = len(cols.buckets)
     bspec = P(axis, None)
     in_specs = (tuple([bspec] * nb_r), tuple([bspec] * nb_c),
                 tuple([bspec] * nb_r), tuple([bspec] * nb_c),
-                P(None, axis), P(None, axis), P(axis), P(axis))
+                P(None, axis), P(None, axis), P(axis), P(axis),
+                P(axis), P(axis))
     out_specs = (tuple([bspec] * nb_r), tuple([bspec] * nb_c),
-                 P(None, axis), P(None, axis))
+                 P(None, axis), P(None, axis), P(axis), P(axis))
     fn = jax.shard_map(step_local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-    return jax.jit(fn, donate_argnums=(2, 3, 4, 5))
+    return jax.jit(fn, donate_argnums=(2, 3, 4, 5, 8, 9))
 
 
 def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
@@ -126,6 +131,8 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                        sh["factors_rank_major"])      # src/CCD.cpp:56-60
     nnz_r = jax.device_put(rows.slot_nnz, sh["slots"])
     nnz_c = jax.device_put(cols.slot_nnz, sh["slots"])
+    u_pend = jax.device_put(np.zeros(rows.n_slots, np.float32), sh["slots"])
+    v_pend = jax.device_put(np.zeros(cols.n_slots, np.float32), sh["slots"])
 
     rep = sh["rep"]
     ti = jax.device_put(rows.slot_of_entity[T.row_idx], rep)
@@ -140,8 +147,8 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     stats: list[IterStats] = []
     for oiter in range(1, cfg.maxiter + 1):
         t0 = time.perf_counter()
-        vals_r, vals_c, W, H = step(idx_r, idx_c, vals_r, vals_c, W, H,
-                                    nnz_r, nnz_c)
+        vals_r, vals_c, W, H, u_pend, v_pend = step(
+            idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c, u_pend, v_pend)
         rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
         st = IterStats(oiter=oiter, rmse=rmse,
                        rank_time=time.perf_counter() - t0)

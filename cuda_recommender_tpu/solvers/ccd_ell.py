@@ -8,15 +8,22 @@ residual storage (cuda_src/CCD_CUDA.cu:300-316); factors live in slot space
 for the whole run so the hot loop has zero scatters.
 
 Gather budget (the scarce resource on TPU — see ARCHITECTURE.md): per rank at
-maxinneriter=1 this does ~3 nnz-sized gathers instead of a naive 6, by fusing
-  * the cols-side add-back with the v-sweep's gather (same u_old vector),
-  * the rows-side add-back + u-sweep into ONE stacked row-gather of
-    [v_old, v_new] (same indices, 2-wide rows cost ~1 scalar gather),
-  * the rows-side subtract with the u-sweep's gather (same v_new vector).
-The add-back runs unconditionally: in outer iteration 1 ``H[t]`` is still 0,
-so the term vanishes identically and one compiled step covers all iterations
-(the reference's ``oiter > 1`` gate at src/CCD.cpp:100 is an optimization,
-not semantics).
+maxinneriter=1 this does ~2.3 nnz-sized gather-equivalents instead of a
+naive 6:
+  * **cols side — ONE stacked row-gather per rank.** The subtract of rank
+    t-1's new outer product is DEFERRED (carried as ``(u_pend, v_pend)``
+    state, exactly like the dense backend's schedule) and folded into rank
+    t's pass: gather the 2-wide stacked table ``[u_pend, u_old]`` once, apply
+    ``- u_pend⊗v_pend + u_old⊗v_old`` to the residual tiles, and reuse the
+    ``u_old`` column for the v-sweep reduction.
+  * **rows side — ONE stacked row-gather per rank**: ``[v_old, v_new]``
+    serves the add-back and the u-sweep, and the sweep's gather is reused by
+    the immediate rows-side subtract.
+(2-wide row gathers cost ~1.15 scalar gathers — rows gather at ~3.3 ns/row
+regardless of width.) The add-back runs unconditionally: in outer iteration
+1 ``H[t]`` is still 0, so the term vanishes identically and one compiled
+step covers all iterations (the reference's ``oiter > 1`` gate at
+src/CCD.cpp:100 is an optimization, not semantics).
 
 Semantics preserved (SURVEY.md §7): H zeroed at entry (src/CCD.cpp:56-60);
 λ·nnz regularization (src/CCD.cpp:112,120); v-sweep before u-sweep each inner
@@ -48,24 +55,28 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
 
-    def step(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c):
+    def step(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c,
+             u_pend, v_pend):
         def rank_body(t, carry):
-            vals_r, vals_c, W, H = carry
+            vals_r, vals_c, W, H, u_pend, v_pend = carry
             u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
             v_old = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
             u, v = u_old, v_old
             for i in range(maxinneriter):
-                # ---- v-sweep (cols side), add-back fused into its gather ----
-                u_ext = extend_zero(u)
+                # ---- v-sweep (cols side): deferred subtract + add-back +
+                # sweep, all off ONE stacked [u_pend, u_old] row-gather ----
                 if i == 0:
-                    ug = [u_ext[ix] for ix in idx_c]
-                    vals_c = residual_update(idx_c, vals_c, cols, u_ext, v_old,
-                                             +1.0, gathered=ug)
-                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
-                                            rnnz_c, gathered=ug)
+                    stacked_c = extend_zero(jnp.stack([u_pend, u_old], axis=-1))
+                    Gc = [g for g in (stacked_c[ix] for ix in idx_c)]
+                    vals_c = residual_update(idx_c, vals_c, cols, None, v_pend,
+                                             -1.0, gathered=[g[..., 0] for g in Gc])
+                    vals_c = residual_update(idx_c, vals_c, cols, None, v_old,
+                                             +1.0, gathered=[g[..., 1] for g in Gc])
+                    v, _ = sweep_new_values(idx_c, vals_c, cols, None, lam_,
+                                            rnnz_c, gathered=[g[..., 1] for g in Gc])
                 else:
-                    v, _ = sweep_new_values(idx_c, vals_c, cols, u_ext, lam_,
-                                            rnnz_c)
+                    v, _ = sweep_new_values(idx_c, vals_c, cols,
+                                            extend_zero(u), lam_, rnnz_c)
                 # ---- u-sweep (rows side) ----
                 if i == 0:
                     # one stacked row-gather serves add-back (v_old) and sweep
@@ -78,21 +89,21 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
                 else:
                     u, vg = sweep_new_values(idx_r, vals_r, rows,
                                              extend_zero(v), lam_, rnnz_r)
-            # ---- write back + subtract (src/CCD.cpp:128-134) ----
+            # ---- write back (src/CCD.cpp:128-134); rows-side subtract
+            # immediately (reuses the sweep's gather), cols-side deferred ----
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
             vals_r = residual_update(idx_r, vals_r, rows, None, u, -1.0,
                                      gathered=vg)          # reuse gather(v)
-            vals_c = residual_update(idx_c, vals_c, cols, extend_zero(u), v,
-                                     -1.0)
-            return (vals_r, vals_c, W, H)
+            return (vals_r, vals_c, W, H, u, v)
 
         k = W.shape[0]
-        return jax.lax.fori_loop(0, k, rank_body, (vals_r, vals_c, W, H))
+        return jax.lax.fori_loop(
+            0, k, rank_body, (vals_r, vals_c, W, H, u_pend, v_pend))
 
     if not jit_compile:
         return step
-    return jax.jit(step, donate_argnums=(2, 3, 4, 5))
+    return jax.jit(step, donate_argnums=(2, 3, 4, 5, 8, 9))
 
 
 def factors_to_slots(F: np.ndarray, side) -> np.ndarray:
@@ -127,11 +138,15 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                        for i in range(len(cols.buckets)))
         W = jnp.asarray(resume["W"])
         H = jnp.asarray(resume["H"])
+        u_pend = jnp.asarray(resume["u_pend"])
+        v_pend = jnp.asarray(resume["v_pend"])
     else:
         vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
         vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
         W = jnp.asarray(factors_to_slots(np.asarray(W0, np.float32), rows))
         H = jnp.zeros((H0.shape[0], cols.n_slots), jnp.float32)  # src/CCD.cpp:56-60
+        u_pend = jnp.zeros(rows.n_slots, jnp.float32)
+        v_pend = jnp.zeros(cols.n_slots, jnp.float32)
     rnnz_r = jnp.asarray(rows.slot_nnz)
     rnnz_c = jnp.asarray(cols.slot_nnz)
 
@@ -164,14 +179,17 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     t0 = time.perf_counter()
     for oiter in range(start_oiter, cfg.maxiter + 1):
-        vals_r, vals_c, W, H = step_fn(idx_r, idx_c, vals_r, vals_c, W, H,
-                                       rnnz_r, rnnz_c)
+        vals_r, vals_c, W, H, u_pend, v_pend = step_fn(
+            idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c,
+            u_pend, v_pend)
         pending.append((oiter, rmse_fn(ti, tj, tv, W, H)))
         at_ckpt = ckpt_every and oiter % ckpt_every == 0
         if len(pending) >= fuse or at_ckpt or oiter == cfg.maxiter:
             t0 = flush(t0)
         if at_ckpt and ckpt_fn:
-            payload = {"W": np.asarray(W), "H": np.asarray(H)}
+            payload = {"W": np.asarray(W), "H": np.asarray(H),
+                       "u_pend": np.asarray(u_pend),
+                       "v_pend": np.asarray(v_pend)}
             for i, v_ in enumerate(vals_r):
                 payload[f"vals_r_{i}"] = np.asarray(v_)
             for i, v_ in enumerate(vals_c):
