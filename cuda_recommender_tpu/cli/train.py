@@ -133,7 +133,6 @@ def main(argv=None) -> int:
         print(f"[info] model saved to {path}", flush=True)
         if cfg.do_predict:
             from ..serve.scoring import predict_pairs
-            import numpy as np
             pred = predict_pairs(result.W, result.H, T.row_idx, T.col_idx,
                                  entity_major=result.entity_major)
             with open("output", "w") as f:

@@ -28,31 +28,29 @@ def synthetic(m: int, n: int, nnz: int, *, k_true: int = 8, noise: float = 0.1,
     target = min(target, m * n)
 
     if power_law:
-        # Zipf-ish marginals over users and items, like MovieLens/Netflix.
-        pu = 1.0 / np.arange(1, m + 1) ** 0.8
-        pi = 1.0 / np.arange(1, n + 1) ** 0.9
-        pu /= pu.sum(); pi /= pi.sum()
-        draw = lambda size: (rng.choice(m, size=size, p=pu).astype(np.int64),
-                             rng.choice(n, size=size, p=pi).astype(np.int64))
+        # Zipf-ish marginals over users and items, like MovieLens/Netflix;
+        # inverse-CDF sampling (cumsum + searchsorted) scales to 100M+ draws.
+        cu = np.cumsum(1.0 / np.arange(1, m + 1) ** 0.8)
+        ci = np.cumsum(1.0 / np.arange(1, n + 1) ** 0.9)
+        cu /= cu[-1]; ci /= ci[-1]
+        draw = lambda size: (
+            np.searchsorted(cu, rng.random(size)).astype(np.int64),
+            np.searchsorted(ci, rng.random(size)).astype(np.int64))
     else:
         draw = lambda size: (rng.integers(0, m, size=size).astype(np.int64),
                              rng.integers(0, n, size=size).astype(np.int64))
 
-    # draw with dedupe, topping up until the target count is (nearly) reached
-    ui = np.empty(0, np.int64)
-    ii = np.empty(0, np.int64)
-    for _ in range(8):
-        missing = target - ui.shape[0]
-        if missing <= 0:
+    # dedupe on packed keys; overdraw once, top up if collisions ran heavy
+    keys = np.empty(0, np.int64)
+    for _ in range(6):
+        need = target - keys.shape[0]
+        if need <= 0:
             break
-        du, di = draw(int(missing * 1.5) + 16)
-        ui = np.concatenate([ui, du])
-        ii = np.concatenate([ii, di])
-        key = ui * n + ii
-        _, first = np.unique(key, return_index=True)
-        first.sort()
-        ui, ii = ui[first], ii[first]
-    ui, ii = ui[:target], ii[:target]
+        du, di = draw(int(need * 1.7) + 16)
+        keys = np.unique(np.concatenate([keys, du * n + di]))
+    # unique() sorts — shuffle so truncation doesn't bias toward low ids
+    keys = keys[rng.permutation(keys.shape[0])][:target]
+    ui, ii = keys // n, keys % n
     total = ui.shape[0]
 
     W = rng.normal(0, 1.0 / np.sqrt(k_true), size=(m, k_true)).astype(np.float32)

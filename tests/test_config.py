@@ -1,0 +1,42 @@
+"""Config semantics: reference `parameter` parity quirks and validation."""
+
+import pytest
+
+from cuda_recommender_tpu.core.config import Backend, Config, Solver
+
+
+def test_defaults_match_reference():
+    """Defaults from /root/reference/src/pmf.h:26-42 (note maxinneriter's
+    CODE default is 1, not the help text's claimed 5)."""
+    c = Config()
+    assert (c.k, c.maxiter, c.maxinneriter) == (10, 5, 1)
+    assert c.lambda_ == pytest.approx(0.1)
+    assert c.threads == 4 and c.eps == pytest.approx(1e-3)
+    assert c.solver == Solver.CCD
+
+
+def test_do_predict_forces_verbose():
+    """src/extras.cpp:130-132."""
+    assert Config(do_predict=True).verbose
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        Config(k=0)
+    with pytest.raises(ValueError):
+        Config(maxinneriter=0)
+    with pytest.raises(ValueError):
+        Config(ell_min_width=6)
+
+
+def test_auto_backend_resolution():
+    c = Config(backend="auto", dense_max_cells=1000)
+    assert c.resolve_backend(10, 10) in (Backend.DENSE, Backend.PALLAS)
+    assert c.resolve_backend(1000, 1000) == Backend.ELL
+    assert Config(solver="als", backend="auto").resolve_backend(5, 5) == Backend.ELL
+    assert Config(backend="ell").resolve_backend(5, 5) == Backend.ELL
+
+
+def test_string_coercion():
+    c = Config(solver="als", backend="dense")
+    assert c.solver is Solver.ALS and c.backend is Backend.DENSE
