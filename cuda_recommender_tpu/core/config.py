@@ -67,6 +67,11 @@ class Config:
     #: and reported — only live per-iteration wall-timing coarsens.
     fused_outer_iters: int = 1
     ell_min_width: int = 8                 # narrowest ELL bucket width (pow2)
+    #: ALS gram-assembly matmul precision: "highest" = true f32 (golden-grade,
+    #: default), "default" = bf16 MXU inputs (~6x faster gram FLOPs, ~0.4%
+    #: factor drift per solve — fine for production training, fails the 10%
+    #: golden bar only on near-zero entries).
+    als_precision: str = "highest"
     ell_growth: float = 2.0                # bucket width growth bound (padding <= growth)
     ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
     eval_chunk: int = 1 << 20              # test-RMSE gather chunk

@@ -36,7 +36,8 @@ from ..ops.ell_ops import extend_zero
 from .reference import IterStats
 
 
-def _gram_and_rhs(idx, val, other_ext, b, chunk: int):
+def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
+                  precision=jax.lax.Precision.HIGHEST):
     """Per-slot gram G (S, k, k) and rhs r (S, k) for one bucket.
 
     Padded lanes gather the zero row, contributing exactly 0 to both. Buckets
@@ -54,9 +55,9 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int):
         # reference's 10% golden bar after a few Gauss-Seidel iterations on
         # near-zero factor entries. Gram assembly must be true f32.
         G = jnp.einsum("sek,sel->skl", F, F, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
         r = jnp.einsum("sek,se->sk", F, val2, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
         return G, r
 
     if L <= chunk or b.p > 1:
@@ -79,14 +80,16 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int):
 
 
 def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
-                slot_nnz, chunk: int):
+                slot_nnz, chunk: int,
+                precision=jax.lax.Precision.HIGHEST):
     """One ALS half-iteration over a side: x_j = (F_Ω^T F_Ω + λI)^{-1} F_Ω^T r
     for every slot, returning (n_slots, k) new factors."""
     k = other_ext.shape[1]
     eye = jnp.eye(k, dtype=jnp.float32)
     outs = []
     for i, b in enumerate(side.buckets):
-        G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk)
+        G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk,
+                             precision)
         A = G + lam * eye                          # λ unscaled, src/ALS.cpp:121
         C = jnp.linalg.cholesky(A)
         y = jax.scipy.linalg.solve_triangular(C, r[..., None], lower=True)
@@ -105,13 +108,17 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
 
 
 def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
-                        jit_compile: bool = True):
+                        jit_compile: bool = True, precision_name: str = "highest"):
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
+    prec = (jax.lax.Precision.HIGHEST if precision_name == "highest"
+            else jax.lax.Precision.DEFAULT)
 
     def step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
-        W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r, chunk)
-        H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c, chunk)
+        W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r,
+                        chunk, prec)
+        H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c,
+                        chunk, prec)
         return W, H
 
     if not jit_compile:
@@ -154,7 +161,8 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = jnp.asarray(T.val)
 
     eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
-    step_fn = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk)
+    step_fn = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk,
+                                  precision_name=cfg.als_precision)
     rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=True,
                                         chunk=eval_chunk))
 

@@ -115,6 +115,31 @@ def test_als_ell_golden(small_data, als_golden):
     _assert_matches(W, H, stats, Wr, Hr, stats_r)
 
 
+def test_ccd_dense_bf16_residual(small_data, ccd_golden):
+    """bf16 residual halves HBM traffic; RMSE must track f32 closely (the
+    mask is exact in bf16, only residual values round)."""
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    cfg = Config(k=K, maxiter=3, lambda_=0.1, backend="dense",
+                 residual_dtype="bfloat16")
+    W, H, stats = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert np.isfinite(W).all()
+    for a, b in zip(stats, stats_r):
+        assert abs(a.rmse - b.rmse) < 0.02
+
+
+def test_als_default_precision_close(small_data, als_golden):
+    """als_precision='default' (bf16 MXU grams) stays within a few permil of
+    the golden trajectory — the production-speed option."""
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = als_golden
+    cfg = Config(solver="als", k=K, maxiter=3, lambda_=0.1,
+                 als_precision="default")
+    W, H, stats = als_ell_train(R, W0.copy(), H0.copy(), T, cfg)
+    for a, b in zip(stats, stats_r):
+        assert abs(a.rmse - b.rmse) < 0.01
+
+
 def test_ccd_empty_entities_zero_lambda():
     """Empty rows/cols with λ=0 must give exact-0 factors, never NaN
     (reference: empty column returns 0, src/CCD.cpp:8)."""
