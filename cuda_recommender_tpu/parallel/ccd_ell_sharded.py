@@ -109,6 +109,7 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
 def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                           T: TestCOO, cfg: Config, mesh: Mesh, *,
                           callback: Optional[Callable[[IterStats], None]] = None,
+                          ckpt_every: int = 0, ckpt_fn=None, resume=None,
                           ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Multi-device CCD++ training. Factors/stats returned in reference
     rank-major entity order; numerically equivalent to the single-device ELL
@@ -124,15 +125,27 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     vals_r = tuple(put_b(b.val) for b in rows.buckets)
     vals_c = tuple(put_b(b.val) for b in cols.buckets)
 
-    W_s = np.zeros((W0.shape[0], rows.n_slots), np.float32)
-    W_s[:, rows.slot_of_entity] = np.asarray(W0, np.float32)
-    W = jax.device_put(W_s, sh["factors_rank_major"])
-    H = jax.device_put(np.zeros((H0.shape[0], cols.n_slots), np.float32),
-                       sh["factors_rank_major"])      # src/CCD.cpp:56-60
+    start_oiter = 1
+    if resume is not None:
+        start_oiter = int(resume["oiter"]) + 1
+        W = jax.device_put(resume["W"], sh["factors_rank_major"])
+        H = jax.device_put(resume["H"], sh["factors_rank_major"])
+        u_pend = jax.device_put(resume["u_pend"], sh["slots"])
+        v_pend = jax.device_put(resume["v_pend"], sh["slots"])
+        vals_r = tuple(put_b(resume[f"vals_r_{i}"])
+                       for i in range(len(rows.buckets)))
+        vals_c = tuple(put_b(resume[f"vals_c_{i}"])
+                       for i in range(len(cols.buckets)))
+    else:
+        W_s = np.zeros((W0.shape[0], rows.n_slots), np.float32)
+        W_s[:, rows.slot_of_entity] = np.asarray(W0, np.float32)
+        W = jax.device_put(W_s, sh["factors_rank_major"])
+        H = jax.device_put(np.zeros((H0.shape[0], cols.n_slots), np.float32),
+                           sh["factors_rank_major"])      # src/CCD.cpp:56-60
+        u_pend = jax.device_put(np.zeros(rows.n_slots, np.float32), sh["slots"])
+        v_pend = jax.device_put(np.zeros(cols.n_slots, np.float32), sh["slots"])
     nnz_r = jax.device_put(rows.slot_nnz, sh["slots"])
     nnz_c = jax.device_put(cols.slot_nnz, sh["slots"])
-    u_pend = jax.device_put(np.zeros(rows.n_slots, np.float32), sh["slots"])
-    v_pend = jax.device_put(np.zeros(cols.n_slots, np.float32), sh["slots"])
 
     rep = sh["rep"]
     ti = jax.device_put(rows.slot_of_entity[T.row_idx], rep)
@@ -145,7 +158,7 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         chunk=min(cfg.eval_chunk, 1 << max(10, (max(1, T.nnz) - 1).bit_length()))))
 
     stats: list[IterStats] = []
-    for oiter in range(1, cfg.maxiter + 1):
+    for oiter in range(start_oiter, cfg.maxiter + 1):
         t0 = time.perf_counter()
         vals_r, vals_c, W, H, u_pend, v_pend = step(
             idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c, u_pend, v_pend)
@@ -155,6 +168,15 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         stats.append(st)
         if callback:
             callback(st)
+        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
+            payload = {"W": np.asarray(W), "H": np.asarray(H),
+                       "u_pend": np.asarray(u_pend),
+                       "v_pend": np.asarray(v_pend)}
+            for i, v_ in enumerate(vals_r):
+                payload[f"vals_r_{i}"] = np.asarray(v_)
+            for i, v_ in enumerate(vals_c):
+                payload[f"vals_c_{i}"] = np.asarray(v_)
+            ckpt_fn(oiter, payload)
 
     W_ent = np.asarray(W)[:, rows.slot_of_entity]
     H_ent = np.asarray(H)[:, cols.slot_of_entity]

@@ -16,11 +16,17 @@ import jax
 import numpy as np
 
 
-def sync(x) -> None:
-    """Reliable completion fence: host-readback a scalar from x (pytree ok)."""
+def sync(x, full: bool = False) -> None:
+    """Completion fence via host readback of (a scalar slice of) the first
+    leaf. ``full=True`` fetches the whole leaf — scalar fetches have been
+    observed to return early on the tunneled platform in rare cases; use a
+    full fence (and subtract the separately measured transfer time) when a
+    single measurement must be trusted."""
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel")
-                              else leaf))
+    if full or not hasattr(leaf, "ravel"):
+        np.asarray(jax.device_get(leaf))
+    else:
+        np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
 def timeit(fn, *args, iters: int = 3, warmup: int = 1) -> float:
