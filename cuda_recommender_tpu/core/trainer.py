@@ -67,7 +67,7 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
     if cfg.solver == Solver.ALS:
         if mesh is not None:
             from ..parallel.als_ell_sharded import als_ell_train_sharded
-            return als_ell_train_sharded(R, W0, H0, T, cfg, mesh, callback=cb)
+            return als_ell_train_sharded(R, W0, H0, T, cfg, mesh, **kw)
         return als_ell_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.PALLAS:
         if mesh is not None:
@@ -85,13 +85,8 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
                                else dense_ccd_shardings(mesh))
         return ccd_dense_train(R, W0, H0, T, cfg, **kw)
     if mesh is not None:
-        if resume is not None or ckpt is not None:
-            raise NotImplementedError(
-                "checkpoint/resume on the sharded ELL path lands with the "
-                "multi-host work; use the single-device backends")
         from ..parallel.ccd_ell_sharded import ccd_ell_train_sharded
-        kw.pop("ckpt_every", None); kw.pop("ckpt_fn", None)
-        return ccd_ell_train_sharded(R, W0, H0, T, cfg, mesh, callback=cb)
+        return ccd_ell_train_sharded(R, W0, H0, T, cfg, mesh, **kw)
     return ccd_ell_train(R, W0, H0, T, cfg, **kw)
 
 

@@ -57,6 +57,7 @@ def make_sharded_als_step(ell: EllPair, mesh: Mesh, lam: float, chunk: int,
 def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                           T: TestCOO, cfg: Config, mesh: Mesh, *,
                           callback: Optional[Callable[[IterStats], None]] = None,
+                          ckpt_every: int = 0, ckpt_fn=None, resume=None,
                           ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Multi-device ALS training, entity-major layout in and out."""
     n_dev = mesh.devices.size
@@ -71,11 +72,16 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     vals_r = tuple(put_b(b.val) for b in rows.buckets)
     vals_c = tuple(put_b(b.val) for b in cols.buckets)
 
-    W_s = np.zeros((rows.n_slots, k), np.float32)
-    W_s[rows.slot_of_entity] = np.asarray(W0, np.float32)
-    H_s = np.zeros((cols.n_slots, k), np.float32)
-    H_s[cols.slot_of_entity] = np.asarray(H0, np.float32)
+    start_oiter = 1
     fsh = sh["factors_entity_major"]
+    if resume is not None:
+        start_oiter = int(resume["oiter"]) + 1
+        W_s, H_s = resume["W"], resume["H"]
+    else:
+        W_s = np.zeros((rows.n_slots, k), np.float32)
+        W_s[rows.slot_of_entity] = np.asarray(W0, np.float32)
+        H_s = np.zeros((cols.n_slots, k), np.float32)
+        H_s[cols.slot_of_entity] = np.asarray(H0, np.float32)
     W, H = jax.device_put(W_s, fsh), jax.device_put(H_s, fsh)
     nnz_r = jax.device_put(rows.slot_nnz, sh["slots"])
     nnz_c = jax.device_put(cols.slot_nnz, sh["slots"])
@@ -91,7 +97,7 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         chunk=min(cfg.eval_chunk, 1 << max(10, (max(1, T.nnz) - 1).bit_length()))))
 
     stats: list[IterStats] = []
-    for oiter in range(1, cfg.maxiter + 1):
+    for oiter in range(start_oiter, cfg.maxiter + 1):
         t0 = time.perf_counter()
         W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
         rmse = float(np.asarray(rmse_fn(ti, tj, tv, W, H)))
@@ -100,6 +106,8 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         stats.append(st)
         if callback:
             callback(st)
+        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
+            ckpt_fn(oiter, {"W": np.asarray(W), "H": np.asarray(H)})
 
     return (np.asarray(W)[rows.slot_of_entity],
             np.asarray(H)[cols.slot_of_entity], stats)

@@ -62,6 +62,23 @@ def test_als_sharded_matches_single(small_data, mesh):
         assert abs(a.rmse - b.rmse) < 1e-4
 
 
+def test_sharded_checkpoint_resume(small_data, mesh, tmp_path):
+    """Sharded ELL CCD checkpoint/resume equals an uninterrupted run."""
+    from cuda_recommender_tpu.core.trainer import train
+
+    R, T = small_data
+    base = dict(k=4, lambda_=0.1, backend="ell")
+    full = train(Config(maxiter=3, **base), R, T, mesh=mesh)
+    ck = str(tmp_path / "ck")
+    train(Config(maxiter=2, checkpoint_dir=ck, checkpoint_every=2, **base),
+          R, T, mesh=mesh)
+    resumed = train(Config(maxiter=3, checkpoint_dir=ck, checkpoint_every=2,
+                           **base), R, T, mesh=mesh,
+                    resume_from_checkpoint=True)
+    np.testing.assert_allclose(full.W, resumed.W, atol=1e-6)
+    np.testing.assert_allclose(full.H, resumed.H, atol=1e-6)
+
+
 def test_ccd_dense_pjit_matches_single(small_data, mesh):
     R, T = small_data
     W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
