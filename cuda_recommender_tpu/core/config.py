@@ -72,6 +72,9 @@ class Config:
     #: factor drift per solve — fine for production training, fails the 10%
     #: golden bar only on near-zero entries).
     als_precision: str = "highest"
+    #: k×k solve implementation: "gj" (batched pivot-free Gauss-Jordan,
+    #: VPU-streamed — fast on TPU) or "lax" (cholesky + triangular solves).
+    als_solver: str = "gj"
     ell_growth: float = 2.0                # bucket width growth bound (padding <= growth)
     ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
     eval_chunk: int = 1 << 20              # test-RMSE gather chunk

@@ -31,7 +31,7 @@ from .mesh import AXIS, ell_shardings
 
 
 def make_sharded_als_step(ell: EllPair, mesh: Mesh, lam: float, chunk: int,
-                          axis: str = AXIS):
+                          axis: str = AXIS, solver: str = "gj"):
     rows, cols = ell.rows_side.local_view(), ell.cols_side.local_view()
     lam_ = jnp.float32(lam)
 
@@ -39,8 +39,10 @@ def make_sharded_als_step(ell: EllPair, mesh: Mesh, lam: float, chunk: int,
         return extend_zero(jax.lax.all_gather(F_loc, axis, axis=0, tiled=True))
 
     def step_local(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
-        W = _solve_side(idx_r, vals_r, rows, gather_table(H), lam_, nnz_r, chunk)
-        H = _solve_side(idx_c, vals_c, cols, gather_table(W), lam_, nnz_c, chunk)
+        W = _solve_side(idx_r, vals_r, rows, gather_table(H), lam_, nnz_r,
+                        chunk, solver=solver)
+        H = _solve_side(idx_c, vals_c, cols, gather_table(W), lam_, nnz_c,
+                        chunk, solver=solver)
         return W, H
 
     nb_r, nb_c = len(rows.buckets), len(cols.buckets)
@@ -91,7 +93,8 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jax.device_put(cols.slot_of_entity[T.col_idx], rep)
     tv = jax.device_put(np.asarray(T.val), rep)
 
-    step = make_sharded_als_step(ell, mesh, cfg.lambda_, cfg.ell_chunk)
+    step = make_sharded_als_step(ell, mesh, cfg.lambda_, cfg.ell_chunk,
+                                 solver=cfg.als_solver)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=True,
         chunk=min(cfg.eval_chunk, 1 << max(10, (max(1, T.nnz) - 1).bit_length()))))

@@ -79,9 +79,45 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
     return G, r
 
 
+def gauss_jordan_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve via pivot-free Gauss-Jordan on the augmented system.
+
+    XLA's batched `cholesky`/`solve_triangular` lower to sequential
+    per-column loops that run far below VPU speed for many small (k×k)
+    systems on TPU; this expresses the elimination as k steps of full-batch
+    broadcast FMAs — the whole (S, k, k+1) tensor streams through the VPU
+    each step. Pivot-free is numerically fine here: A = F_Ω^T F_Ω + λI is
+    SPD with its dominant mass on the diagonal. ~k·S·k·(k+1) FLOPs total,
+    same as a direct solve.
+    """
+    S, k = b.shape
+    M = jnp.concatenate([A, b[..., None]], axis=2)          # (S, k, k+1)
+
+    def body(i, M):
+        row = jax.lax.dynamic_slice_in_dim(M, i, 1, axis=1)[:, 0, :]  # (S,k+1)
+        d = jax.lax.dynamic_slice_in_dim(row, i, 1, axis=1)           # (S,1)
+        prow = row / d
+        col = jax.lax.dynamic_slice_in_dim(M, i, 1, axis=2)           # (S,k,1)
+        M = M - col * prow[:, None, :]
+        return jax.lax.dynamic_update_slice_in_dim(M, prow[:, None, :], i,
+                                                   axis=1)
+
+    M = jax.lax.fori_loop(0, k, body, M)
+    return M[:, :, k]
+
+
+def _solve_kxk(A, r, solver: str):
+    if solver == "gj":
+        return gauss_jordan_solve(A, r)
+    C = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.solve_triangular(C, r[..., None], lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(C, -1, -2), y, lower=False)[..., 0]
+
+
 def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
                 slot_nnz, chunk: int,
-                precision=jax.lax.Precision.HIGHEST):
+                precision=jax.lax.Precision.HIGHEST, solver: str = "gj"):
     """One ALS half-iteration over a side: x_j = (F_Ω^T F_Ω + λI)^{-1} F_Ω^T r
     for every slot, returning (n_slots, k) new factors."""
     k = other_ext.shape[1]
@@ -91,10 +127,7 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
         G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk,
                              precision)
         A = G + lam * eye                          # λ unscaled, src/ALS.cpp:121
-        C = jnp.linalg.cholesky(A)
-        y = jax.scipy.linalg.solve_triangular(C, r[..., None], lower=True)
-        x = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(C, -1, -2), y, lower=False)[..., 0]
+        x = _solve_kxk(A, r, solver)
         outs.append(x)
     if not side.buckets:
         return jnp.zeros((side.n_slots, k), jnp.float32)
@@ -108,7 +141,9 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
 
 
 def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
-                        jit_compile: bool = True, precision_name: str = "highest"):
+                        jit_compile: bool = True,
+                        precision_name: str = "highest",
+                        solver: str = "gj"):
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
     prec = (jax.lax.Precision.HIGHEST if precision_name == "highest"
@@ -116,9 +151,9 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
 
     def step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
         W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r,
-                        chunk, prec)
+                        chunk, prec, solver)
         H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c,
-                        chunk, prec)
+                        chunk, prec, solver)
         return W, H
 
     if not jit_compile:
@@ -162,7 +197,8 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
     step_fn = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk,
-                                  precision_name=cfg.als_precision)
+                                  precision_name=cfg.als_precision,
+                                  solver=cfg.als_solver)
     rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=True,
                                         chunk=eval_chunk))
 

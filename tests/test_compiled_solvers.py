@@ -167,3 +167,15 @@ def test_als_empty_entities():
     W, H, _ = als_ell_train(R, W0.copy(), H0.copy(), T, cfg)
     assert np.all(W[[2, 4, 5]] == 0) and np.all(H[[3, 4]] == 0)
     assert np.isfinite(W).all() and np.isfinite(H).all()
+
+
+def test_gauss_jordan_solve_matches_numpy(rng):
+    from cuda_recommender_tpu.solvers.als_ell import gauss_jordan_solve
+    import jax.numpy as jnp
+    S, k = 64, 12
+    F = rng.normal(size=(S, 30, k)).astype(np.float32)
+    A = np.einsum("sek,sel->skl", F, F) + 0.1 * np.eye(k, dtype=np.float32)
+    b = rng.normal(size=(S, k)).astype(np.float32)
+    x = np.asarray(gauss_jordan_solve(jnp.asarray(A), jnp.asarray(b)))
+    want = np.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
