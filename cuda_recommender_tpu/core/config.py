@@ -97,6 +97,15 @@ class Config:
             raise ValueError("iteration counts must be positive")
         if self.ell_min_width & (self.ell_min_width - 1):
             raise ValueError("ell_min_width must be a power of two")
+        if self.als_solver not in ("gj", "lax"):
+            raise ValueError(f"als_solver must be 'gj' or 'lax', "
+                             f"got {self.als_solver!r}")
+        if self.als_precision not in ("highest", "default"):
+            raise ValueError(f"als_precision must be 'highest' or 'default', "
+                             f"got {self.als_precision!r}")
+        if self.residual_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"residual_dtype must be 'float32' or "
+                             f"'bfloat16', got {self.residual_dtype!r}")
 
     def resolve_backend(self, m: int, n: int) -> Backend:
         """AUTO resolution: dense residual for CCD when it fits (the Pallas

@@ -40,3 +40,12 @@ def test_auto_backend_resolution():
 def test_string_coercion():
     c = Config(solver="als", backend="dense")
     assert c.solver is Solver.ALS and c.backend is Backend.DENSE
+
+
+def test_solver_knob_validation():
+    with pytest.raises(ValueError):
+        Config(als_solver="GJ")
+    with pytest.raises(ValueError):
+        Config(als_precision="high")
+    with pytest.raises(ValueError):
+        Config(residual_dtype="float16")
