@@ -97,6 +97,9 @@ class Config:
             raise ValueError("iteration counts must be positive")
         if self.ell_min_width & (self.ell_min_width - 1):
             raise ValueError("ell_min_width must be a power of two")
+        if self.ell_chunk < 128 or (self.ell_chunk & (self.ell_chunk - 1)):
+            raise ValueError("ell_chunk must be a power of two >= 128 (it "
+                             "must divide every ELL bucket width)")
         if self.als_solver not in ("gj", "lax"):
             raise ValueError(f"als_solver must be 'gj' or 'lax', "
                              f"got {self.als_solver!r}")

@@ -22,6 +22,13 @@ from ..data.sparse import RatingMatrix, TestCOO
 GOLDEN_RTOL = 0.1   # src/extras.cpp:223
 
 
+def default_eval_chunk(nnz: int, cap: int = 1 << 20) -> int:
+    """Chunk size for calrmse_device: the smallest power of two >= nnz
+    (floor 1024) capped at ``cap`` — bounds padding waste for small test sets
+    and device-memory pressure for large ones."""
+    return min(cap, 1 << max(10, (max(1, int(nnz)) - 1).bit_length()))
+
+
 def _dots_np(W, H, ti, tj, entity_major: bool) -> np.ndarray:
     if entity_major:        # ALS layout (n, k): pred = W[i]·H[j]
         return np.einsum("ek,ek->e", W[ti].astype(np.float64),

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO
-from ..eval.metrics import calrmse_device
+from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ell_ops import extend_zero
 from ..solvers.als_ell import _solve_side
 from ..solvers.reference import IterStats
@@ -31,18 +31,21 @@ from .mesh import AXIS, ell_shardings
 
 
 def make_sharded_als_step(ell: EllPair, mesh: Mesh, lam: float, chunk: int,
-                          axis: str = AXIS, solver: str = "gj"):
+                          axis: str = AXIS, solver: str = "gj",
+                          precision_name: str = "highest"):
     rows, cols = ell.rows_side.local_view(), ell.cols_side.local_view()
     lam_ = jnp.float32(lam)
+    prec = (jax.lax.Precision.HIGHEST if precision_name == "highest"
+            else jax.lax.Precision.DEFAULT)
 
     def gather_table(F_loc):
         return extend_zero(jax.lax.all_gather(F_loc, axis, axis=0, tiled=True))
 
     def step_local(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
         W = _solve_side(idx_r, vals_r, rows, gather_table(H), lam_, nnz_r,
-                        chunk, solver=solver)
+                        chunk, prec, solver)
         H = _solve_side(idx_c, vals_c, cols, gather_table(W), lam_, nnz_c,
-                        chunk, solver=solver)
+                        chunk, prec, solver)
         return W, H
 
     nb_r, nb_c = len(rows.buckets), len(cols.buckets)
@@ -94,10 +97,11 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = jax.device_put(np.asarray(T.val), rep)
 
     step = make_sharded_als_step(ell, mesh, cfg.lambda_, cfg.ell_chunk,
-                                 solver=cfg.als_solver)
+                                 solver=cfg.als_solver,
+                                 precision_name=cfg.als_precision)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=True,
-        chunk=min(cfg.eval_chunk, 1 << max(10, (max(1, T.nnz) - 1).bit_length()))))
+        chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
     stats: list[IterStats] = []
     for oiter in range(start_oiter, cfg.maxiter + 1):

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO
-from ..eval.metrics import calrmse_device
+from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ell_ops import extend_zero, residual_update, sweep_new_values
 from ..solvers.reference import IterStats
 from .mesh import AXIS, ell_shardings
@@ -155,7 +155,7 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     step = make_sharded_ell_step(ell, mesh, cfg.lambda_, cfg.maxinneriter)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
-        chunk=min(cfg.eval_chunk, 1 << max(10, (max(1, T.nnz) - 1).bit_length()))))
+        chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
     stats: list[IterStats] = []
     for oiter in range(start_oiter, cfg.maxiter + 1):

@@ -21,7 +21,6 @@ Jacobi within a side — src/ALS.cpp:98-219); entity-major (n, k) layout
 from __future__ import annotations
 
 import functools
-import time
 from typing import Callable, Optional
 
 import jax
@@ -31,8 +30,9 @@ import numpy as np
 from ..core.config import Config
 from ..data.ell import EllPair, EllSide, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO
-from ..eval.metrics import calrmse_device
+from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ell_ops import extend_zero
+from .pipeline import pipelined_loop
 from .reference import IterStats
 
 
@@ -195,43 +195,33 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jnp.asarray(cols.slot_of_entity[T.col_idx])
     tv = jnp.asarray(T.val)
 
-    eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
     step_fn = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk,
                                   precision_name=cfg.als_precision,
                                   solver=cfg.als_solver)
-    rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=True,
-                                        chunk=eval_chunk))
+    rmse_fn = jax.jit(functools.partial(
+        calrmse_device, entity_major=True,
+        chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
-    # async-pipelined loop with grouped RMSE readback (see ccd_dense.py)
-    fuse = max(1, cfg.fused_outer_iters)
-    stats: list[IterStats] = []
-    pending: list[tuple[int, jnp.ndarray]] = []
+    box = {"WH": (W, H)}
 
-    def flush(t0):
-        if not pending:
-            return t0
-        dt = (time.perf_counter() - t0) / len(pending)
-        for o, r in pending:
-            st = IterStats(oiter=o, rmse=float(np.asarray(r)), rank_time=dt)
-            stats.append(st)
-            if callback:
-                callback(st)
-        pending.clear()
-        return time.perf_counter()
+    def do_step():
+        W, H = box["WH"]
+        box["WH"] = step_fn(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
 
-    t0 = time.perf_counter()
-    for oiter in range(start_oiter, cfg.maxiter + 1):
-        W, H = step_fn(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
-        pending.append((oiter, rmse_fn(ti, tj, tv, W, H)))
-        at_ckpt = ckpt_every and oiter % ckpt_every == 0
-        if len(pending) >= fuse or at_ckpt or oiter == cfg.maxiter:
-            t0 = flush(t0)
-        if at_ckpt and ckpt_fn:
-            ckpt_fn(oiter, {"W": np.asarray(W), "H": np.asarray(H)})
+    def do_rmse():
+        W, H = box["WH"]
+        return rmse_fn(ti, tj, tv, W, H)
 
+    def get_payload():
+        W, H = box["WH"]
+        return {"W": np.asarray(W), "H": np.asarray(H)}
+
+    stats = pipelined_loop(
+        start_oiter=start_oiter, maxiter=cfg.maxiter,
+        fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
+        callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
+        get_payload=get_payload)
+
+    W, H = box["WH"]
     return (np.asarray(W)[rows.slot_of_entity],
             np.asarray(H)[cols.slot_of_entity], stats)
-
-
-def _pow2_ge(x: int) -> int:
-    return 1 << max(10, (max(1, int(x)) - 1).bit_length())

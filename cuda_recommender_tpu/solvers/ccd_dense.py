@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import time
 from typing import Callable, Optional
 
 import jax
@@ -45,7 +44,8 @@ import numpy as np
 
 from ..core.config import Config
 from ..data.sparse import RatingMatrix, TestCOO
-from ..eval.metrics import calrmse_device
+from ..eval.metrics import calrmse_device, default_eval_chunk
+from .pipeline import pipelined_loop
 from .reference import IterStats
 
 
@@ -185,51 +185,35 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = put(np.asarray(T.col_idx), "rep")
     tv = put(np.asarray(T.val), "rep")
 
-    eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
     step_fn = make_outer_step(cfg.lambda_, cfg.maxinneriter,
                               residual_dtype=rdt)
-    rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=False,
-                                        chunk=eval_chunk))
+    rmse_fn = jax.jit(functools.partial(
+        calrmse_device, entity_major=False,
+        chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
-    # Async-pipelined loop: enqueue `fuse` (step, rmse) pairs back-to-back,
-    # read the tiny RMSE scalars back once per group. Per-iteration host
-    # readback costs ~27 ms on a tunneled chip; queued dispatches overlap
-    # with device execution (a fused fori_loop measured slower — while-loop
-    # carry copies — so grouping dispatches, not tracing, is the win).
-    fuse = max(1, cfg.fused_outer_iters)
-    stats: list[IterStats] = []
-    pending: list[tuple[int, jnp.ndarray]] = []
+    box = {"state": state}
 
-    def flush(t0):
-        if not pending:
-            return t0
-        dt = (time.perf_counter() - t0) / len(pending)
-        for o, r in pending:
-            st = IterStats(oiter=o, rmse=float(np.asarray(r)), rank_time=dt)
-            stats.append(st)
-            if callback:
-                callback(st)
-        pending.clear()
-        return time.perf_counter()
+    def do_step():
+        box["state"] = step_fn(box["state"], mask, row_nnz_d, col_nnz_d)
 
-    t0 = time.perf_counter()
-    for oiter in range(start_oiter, cfg.maxiter + 1):
-        state = step_fn(state, mask, row_nnz_d, col_nnz_d)
-        pending.append((oiter, rmse_fn(ti, tj, tv, state.W, state.H)))
-        at_ckpt = ckpt_every and oiter % ckpt_every == 0
-        if len(pending) >= fuse or at_ckpt or oiter == cfg.maxiter:
-            t0 = flush(t0)
-        if at_ckpt and ckpt_fn:
-            ckpt_fn(oiter, {"W": np.asarray(state.W),
-                            "H": np.asarray(state.H),
-                            "Rhat": np.asarray(state.Rhat),
-                            "u_pend": np.asarray(state.u_pend),
-                            "v_pend": np.asarray(state.v_pend)})
+    def do_rmse():
+        s = box["state"]
+        return rmse_fn(ti, tj, tv, s.W, s.H)
+
+    def get_payload():
+        s = box["state"]
+        return {"W": np.asarray(s.W), "H": np.asarray(s.H),
+                "Rhat": np.asarray(s.Rhat),
+                "u_pend": np.asarray(s.u_pend),
+                "v_pend": np.asarray(s.v_pend)}
+
+    stats = pipelined_loop(
+        start_oiter=start_oiter, maxiter=cfg.maxiter,
+        fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
+        callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
+        get_payload=get_payload)
+    state = box["state"]
     return np.asarray(state.W)[:, :m], np.asarray(state.H)[:, :n], stats
-
-
-def _pow2_ge(x: int) -> int:
-    return 1 << max(10, (max(1, int(x)) - 1).bit_length())
 
 
 def _put(shardings: Optional[dict], x, kind: str):

@@ -34,7 +34,7 @@ RMSE) into one dispatch — host round-trips are ~27 ms on a tunneled chip.
 
 from __future__ import annotations
 
-import time
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -44,8 +44,9 @@ import numpy as np
 from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO
-from ..eval.metrics import calrmse_device
+from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ell_ops import extend_zero, residual_update, sweep_new_values
+from .pipeline import pipelined_loop
 from .reference import IterStats
 
 
@@ -67,7 +68,7 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
                 # sweep, all off ONE stacked [u_pend, u_old] row-gather ----
                 if i == 0:
                     stacked_c = extend_zero(jnp.stack([u_pend, u_old], axis=-1))
-                    Gc = [g for g in (stacked_c[ix] for ix in idx_c)]
+                    Gc = [stacked_c[ix] for ix in idx_c]
                     vals_c = residual_update(idx_c, vals_c, cols, None, v_pend,
                                              -1.0, gathered=[g[..., 0] for g in Gc])
                     vals_c = residual_update(idx_c, vals_c, cols, None, v_old,
@@ -154,52 +155,40 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jnp.asarray(cols.slot_of_entity[T.col_idx])
     tv = jnp.asarray(T.val)
 
-    eval_chunk = min(cfg.eval_chunk, _pow2_ge(T.nnz))
     step_fn = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter)
-    import functools
-    rmse_fn = jax.jit(functools.partial(calrmse_device, entity_major=False,
-                                        chunk=eval_chunk))
+    rmse_fn = jax.jit(functools.partial(
+        calrmse_device, entity_major=False,
+        chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
-    # async-pipelined loop with grouped RMSE readback (see ccd_dense.py)
-    fuse = max(1, cfg.fused_outer_iters)
-    stats: list[IterStats] = []
-    pending: list[tuple[int, jnp.ndarray]] = []
+    box = {"s": (vals_r, vals_c, W, H, u_pend, v_pend)}
 
-    def flush(t0):
-        if not pending:
-            return t0
-        dt = (time.perf_counter() - t0) / len(pending)
-        for o, r in pending:
-            st = IterStats(oiter=o, rmse=float(np.asarray(r)), rank_time=dt)
-            stats.append(st)
-            if callback:
-                callback(st)
-        pending.clear()
-        return time.perf_counter()
+    def do_step():
+        vals_r, vals_c, W, H, u_pend, v_pend = box["s"]
+        box["s"] = step_fn(idx_r, idx_c, vals_r, vals_c, W, H,
+                           rnnz_r, rnnz_c, u_pend, v_pend)
 
-    t0 = time.perf_counter()
-    for oiter in range(start_oiter, cfg.maxiter + 1):
-        vals_r, vals_c, W, H, u_pend, v_pend = step_fn(
-            idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c,
-            u_pend, v_pend)
-        pending.append((oiter, rmse_fn(ti, tj, tv, W, H)))
-        at_ckpt = ckpt_every and oiter % ckpt_every == 0
-        if len(pending) >= fuse or at_ckpt or oiter == cfg.maxiter:
-            t0 = flush(t0)
-        if at_ckpt and ckpt_fn:
-            payload = {"W": np.asarray(W), "H": np.asarray(H),
-                       "u_pend": np.asarray(u_pend),
-                       "v_pend": np.asarray(v_pend)}
-            for i, v_ in enumerate(vals_r):
-                payload[f"vals_r_{i}"] = np.asarray(v_)
-            for i, v_ in enumerate(vals_c):
-                payload[f"vals_c_{i}"] = np.asarray(v_)
-            ckpt_fn(oiter, payload)
+    def do_rmse():
+        _, _, W, H, _, _ = box["s"]
+        return rmse_fn(ti, tj, tv, W, H)
 
+    def get_payload():
+        vals_r, vals_c, W, H, u_pend, v_pend = box["s"]
+        payload = {"W": np.asarray(W), "H": np.asarray(H),
+                   "u_pend": np.asarray(u_pend),
+                   "v_pend": np.asarray(v_pend)}
+        for i, v_ in enumerate(vals_r):
+            payload[f"vals_r_{i}"] = np.asarray(v_)
+        for i, v_ in enumerate(vals_c):
+            payload[f"vals_c_{i}"] = np.asarray(v_)
+        return payload
+
+    stats = pipelined_loop(
+        start_oiter=start_oiter, maxiter=cfg.maxiter,
+        fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
+        callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
+        get_payload=get_payload)
+
+    _, _, W, H, _, _ = box["s"]
     W_ent = np.asarray(W)[:, rows.slot_of_entity]
     H_ent = np.asarray(H)[:, cols.slot_of_entity]
     return W_ent, H_ent, stats
-
-
-def _pow2_ge(x: int) -> int:
-    return 1 << max(10, (max(1, int(x)) - 1).bit_length())

@@ -12,7 +12,6 @@ kernel runs in Pallas interpreter mode so tests exercise identical code.
 from __future__ import annotations
 
 import functools
-import time
 from typing import Callable, Optional
 
 import jax
@@ -21,9 +20,10 @@ import numpy as np
 
 from ..core.config import Config
 from ..data.sparse import RatingMatrix, TestCOO
-from ..eval.metrics import calrmse_device
+from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ccd_pallas import BM, BN, fused_update_vsweep
 from .ccd_dense import DenseState, _half_sweep, build_dense_inputs
+from .pipeline import pipelined_loop
 from .reference import IterStats
 
 
@@ -103,22 +103,28 @@ def ccd_pallas_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                                      residual_dtype=rdt, interpret=interpret)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
-        chunk=min(cfg.eval_chunk,
-                  1 << max(10, (max(1, T.nnz) - 1).bit_length()))))
+        chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
-    stats: list[IterStats] = []
-    for oiter in range(start_oiter, cfg.maxiter + 1):
-        t0 = time.perf_counter()
-        state = step_fn(state, mask, row_nnz_d, col_nnz_d)
-        rmse = float(np.asarray(rmse_fn(ti, tj, tv, state.W, state.H)))
-        dt = time.perf_counter() - t0
-        st = IterStats(oiter=oiter, rmse=rmse, rank_time=dt)
-        stats.append(st)
-        if callback:
-            callback(st)
-        if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
-            ckpt_fn(oiter, {"W": np.asarray(state.W), "H": np.asarray(state.H),
-                            "Rhat": np.asarray(state.Rhat),
-                            "u_pend": np.asarray(state.u_pend),
-                            "v_pend": np.asarray(state.v_pend)})
+    box = {"state": state}
+
+    def do_step():
+        box["state"] = step_fn(box["state"], mask, row_nnz_d, col_nnz_d)
+
+    def do_rmse():
+        s = box["state"]
+        return rmse_fn(ti, tj, tv, s.W, s.H)
+
+    def get_payload():
+        s = box["state"]
+        return {"W": np.asarray(s.W), "H": np.asarray(s.H),
+                "Rhat": np.asarray(s.Rhat),
+                "u_pend": np.asarray(s.u_pend),
+                "v_pend": np.asarray(s.v_pend)}
+
+    stats = pipelined_loop(
+        start_oiter=start_oiter, maxiter=cfg.maxiter,
+        fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
+        callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
+        get_payload=get_payload)
+    state = box["state"]
     return np.asarray(state.W)[:, :m], np.asarray(state.H)[:, :n], stats
