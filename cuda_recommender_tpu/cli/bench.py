@@ -17,23 +17,27 @@ from ..data import datasets
 
 def run_once(R, T, solver: Solver, backend: Backend, k: int, inner: int,
              lam: float, iters: int, seed: int):
-    from ..solvers.als_ell import als_ell_train
-    from ..solvers.ccd_dense import ccd_dense_train
-    from ..solvers.ccd_ell import ccd_ell_train
+    from ..solvers.reference import als_reference, ccd_reference
 
     cfg = Config(solver=solver, k=k, maxiter=iters, maxinneriter=inner,
                  lambda_=lam, backend=backend, seed=seed)
     backend = cfg.resolve_backend(R.rows, R.cols)
+    if solver == Solver.ALS and backend in (Backend.DENSE, Backend.PALLAS):
+        backend = Backend.ELL          # ALS has no dense-residual path
     entity_major = solver == Solver.ALS
     W0, H0 = init_factors_np(k, R.rows, R.cols, seed=seed,
                              entity_major=entity_major)
     t0 = time.perf_counter()
-    if solver == Solver.ALS:
-        _, _, stats = als_ell_train(R, W0, H0, T, cfg)
-    elif backend == Backend.DENSE:
-        _, _, stats = ccd_dense_train(R, W0, H0, T, cfg)
+    if backend == Backend.REF:
+        if solver == Solver.ALS:
+            stats = als_reference(R, W0, H0, T, lambda_=lam, maxiter=iters)
+        else:
+            stats = ccd_reference(R, W0, H0, T, lambda_=lam, maxiter=iters,
+                                  maxinneriter=inner)
     else:
-        _, _, stats = ccd_ell_train(R, W0, H0, T, cfg)
+        from ..models.mf import get_train_fn
+        fn = get_train_fn(solver, backend)
+        _, _, stats = fn(R, W0, H0, T, cfg)
     total = time.perf_counter() - t0
     # steady-state iteration time: skip the compile-bearing first two iters
     steady = [s.rank_time for s in stats[2:]] or [s.rank_time for s in stats]

@@ -45,6 +45,11 @@ def main(argv=None) -> int:
     if args.model:
         from ..data.binfmt import load_model
         W, H = load_model(args.model, entity_major=True)
+        if W.shape[0] != R.rows or H.shape[0] != R.cols:
+            raise SystemExit(
+                f"model dims ({W.shape[0]} users x {H.shape[0]} items) do "
+                f"not match --dataset ({R.rows} x {R.cols}); recall@k would "
+                f"be meaningless — pass the matching --dataset spec/dir")
     else:
         W0, H0 = init_factors_np(16, R.rows, R.cols, seed=0, entity_major=True)
         cfg = Config(solver="als", k=16, maxiter=4, lambda_=0.05,

@@ -27,11 +27,20 @@ class Checkpointer:
     def _path(self, oiter: int) -> str:
         return os.path.join(self.dir, f"ckpt_{oiter:06d}.npz")
 
+    @staticmethod
+    def _native(arr: np.ndarray) -> np.ndarray:
+        """npz silently stores non-native dtypes (e.g. ml_dtypes bfloat16) as
+        raw void bytes that cannot be cast back on load — save them as f32."""
+        arr = np.asarray(arr)
+        if arr.dtype.kind not in "fiub":
+            return arr.astype(np.float32)
+        return arr
+
     def save(self, oiter: int, *, W: np.ndarray, H: np.ndarray,
              solver: str, backend: str, extra: Optional[dict] = None) -> str:
-        arrays = {"W": W, "H": H}
+        arrays = {"W": self._native(W), "H": self._native(H)}
         for name, arr in (extra or {}).items():
-            arrays[f"extra_{name}"] = arr
+            arrays[f"extra_{name}"] = self._native(arr)
         path = self._path(oiter)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

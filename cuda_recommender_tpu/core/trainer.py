@@ -47,12 +47,18 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
     from ..solvers.ccd_dense import ccd_dense_train
     from ..solvers.ccd_ell import ccd_ell_train
 
-    acc = {"t": 0.0}
+    acc = {"rank": 0.0, "upd": 0.0}
 
     def cb(st):
-        acc["t"] += st.rank_time
+        acc["rank"] += st.rank_time
+        acc["upd"] += st.update_time
         log.iteration(cfg.solver.value, backend.value, st.oiter, st.rmse,
-                      st.rank_time, acc["t"], st.update_time, acc["t"])
+                      st.rank_time, acc["rank"], st.update_time, acc["upd"])
+
+    if backend == Backend.REF:
+        # the NumPy golden solver requested explicitly as the main backend
+        W, H, stats = _run_reference(cfg, R, W0, H0, T, log)
+        return W, H, stats
 
     kw: dict = dict(callback=cb)
     if ckpt is not None:
@@ -136,6 +142,14 @@ def train(cfg: Config, R: RatingMatrix, T: TestCOO, *,
             raise ValueError("resume requested but no checkpoint_dir set")
         latest = ckpt.latest()
         if latest is not None:
+            if (latest.get("solver") and latest["solver"] != cfg.solver.value) \
+                    or (latest.get("backend")
+                        and latest["backend"] != backend.value):
+                raise ValueError(
+                    f"checkpoint was written by solver="
+                    f"{latest.get('solver')} backend={latest.get('backend')} "
+                    f"but this run is solver={cfg.solver.value} "
+                    f"backend={backend.value} — payloads are incompatible")
             resume = {"oiter": latest["oiter"], "W": latest["W"],
                       "H": latest["H"], **latest["extra"]}
             log.info(f"[info] resuming from checkpoint oiter={latest['oiter']}")

@@ -29,12 +29,16 @@ def build(force: bool = False, verbose: bool = False) -> str:
     if not force and os.path.exists(_SO) and all(
             os.path.getmtime(_SO) >= os.path.getmtime(s) for s in _SRC):
         return _SO
+    # per-process tmp name: concurrent auto-builds (pytest workers, multihost
+    # launches) must not interleave writes into one tmp file and publish a
+    # corrupted library
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
-           "-o", _SO + ".tmp", *_SRC]
+           "-o", tmp, *_SRC]
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:
         raise OSError(f"native build failed: {res.stderr[-2000:]}")
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(tmp, _SO)
     if verbose:
         print(f"[info] built {_SO}", file=sys.stderr)
     return _SO

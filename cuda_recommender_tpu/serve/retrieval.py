@@ -72,8 +72,11 @@ def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
     fetch = min(n, topk + extra)
     pad = (-n) % chunk
     Hp = np.pad(H_em, ((0, pad), (0, 0)))
-    if pad:     # padded rows must never win: push them to -inf via a marker
-        Hp[n:] = 0.0
+    # Pad rows are zero vectors and score 0, which CAN outrank real items
+    # when all true scores are negative. Correctness relies on over-fetching
+    # (`fetch + pad` below) so at least `fetch` REAL items survive, then
+    # dropping pad ids via the `valid = i < n` filter. Do not shrink the
+    # over-fetch without replacing this mechanism.
     U = W_em[np.asarray(user_ids, np.int64)]
     s, i = topk_mips_device(jnp.asarray(U), jnp.asarray(Hp),
                             topk=min(fetch + pad, n + pad), chunk=chunk)

@@ -69,3 +69,38 @@ def test_metrics_log_silent(tmp_path, capsys):
     log.close()
     assert capsys.readouterr().out == ""
     assert json.loads(open(tmp_path / "m.jsonl").readline())["rmse"] == 0.9
+
+
+def test_bf16_checkpoint_resume(small_data, tmp_path):
+    """bfloat16 training state must roundtrip through npz checkpoints
+    (non-native dtypes are cast to f32 on save)."""
+    R, T = small_data
+    base = dict(k=4, lambda_=0.1, backend="dense", residual_dtype="bfloat16")
+    full = train(Config(maxiter=3, **base), R, T)
+    ck = str(tmp_path / "ck")
+    train(Config(maxiter=2, checkpoint_dir=ck, checkpoint_every=2, **base), R, T)
+    resumed = train(Config(maxiter=3, checkpoint_dir=ck, checkpoint_every=2,
+                           **base), R, T, resume_from_checkpoint=True)
+    np.testing.assert_allclose(full.W, resumed.W, atol=1e-3)
+
+
+def test_backend_ref_runs_reference(small_data, capsys):
+    """--backend ref must run the NumPy golden solver, not a compiled path."""
+    R, T = small_data
+    res = train(Config(k=4, maxiter=2, lambda_=0.1, backend="ref"), R, T)
+    from cuda_recommender_tpu.core.init import init_factors_np
+    from cuda_recommender_tpu.solvers.reference import ccd_reference
+    W0, H0 = init_factors_np(4, R.rows, R.cols, seed=0)
+    ccd_reference(R, W0, H0, T, lambda_=0.1, maxiter=2)
+    np.testing.assert_array_equal(res.W, W0)     # bit-identical to golden
+
+
+def test_resume_backend_mismatch_raises(small_data, tmp_path):
+    R, T = small_data
+    ck = str(tmp_path / "ck")
+    train(Config(k=4, maxiter=1, backend="dense", checkpoint_dir=ck,
+                 checkpoint_every=1), R, T)
+    import pytest
+    with pytest.raises(ValueError, match="incompatible"):
+        train(Config(k=4, maxiter=2, backend="ell", checkpoint_dir=ck,
+                     checkpoint_every=1), R, T, resume_from_checkpoint=True)
