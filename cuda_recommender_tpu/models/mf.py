@@ -52,7 +52,12 @@ class MFModel:
         return predict_pairs(self.W, self.H, user_ids, item_ids,
                              entity_major=True)
 
-    def recommend(self, user_ids, *, topk: int = 10, exclude=None):
+    def recommend(self, user_ids, *, topk: int = 10, exclude=None, mesh=None):
+        """Top-k MIPS retrieval; pass a mesh to shard the item table."""
+        if mesh is not None:
+            from ..serve.retrieval_sharded import topk_mips_sharded
+            return topk_mips_sharded(self.W, self.H, user_ids, mesh,
+                                     topk=topk, exclude=exclude)
         from ..serve.retrieval import topk_mips
         return topk_mips(self.W, self.H, user_ids, topk=topk, exclude=exclude)
 

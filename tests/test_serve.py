@@ -110,3 +110,38 @@ def test_mips_recall_after_training(small_data):
                          exclude=exclude)
     rec = recall_at_k(items, relevant)
     assert rec > 0.11      # random would be ~10/120 = 0.083; MF gets ~0.14
+
+
+def test_topk_mips_sharded_matches_single(factors):
+    from cuda_recommender_tpu.parallel.mesh import make_mesh
+    from cuda_recommender_tpu.serve.retrieval_sharded import topk_mips_sharded
+
+    W, H = factors
+    users = np.arange(12)
+    mesh = make_mesh()
+    s1, i1 = topk_mips(W, H, users, topk=5, chunk=16)
+    sN, iN = topk_mips_sharded(W, H, users, mesh, topk=5, chunk=16)
+    for b in range(len(users)):
+        np.testing.assert_array_equal(np.sort(i1[b]), np.sort(iN[b]))
+        np.testing.assert_allclose(np.sort(s1[b]), np.sort(sN[b]), rtol=1e-5)
+
+
+def test_topk_mips_sharded_negative_scores_and_exclude(factors):
+    """All-negative queries: pad rows (score 0) must not displace real items."""
+    from cuda_recommender_tpu.parallel.mesh import make_mesh
+    from cuda_recommender_tpu.serve.retrieval_sharded import topk_mips_sharded
+
+    W, H = factors
+    Wneg = -np.abs(W)       # scores vs |H| strongly negative
+    Hpos = np.abs(H)
+    users = np.array([0, 3])
+    mesh = make_mesh()
+    s1, i1 = topk_mips(Wneg, Hpos, users, topk=4, chunk=16)
+    sN, iN = topk_mips_sharded(Wneg, Hpos, users, mesh, topk=4, chunk=16)
+    for b in range(2):
+        assert (iN[b] >= 0).all()
+        np.testing.assert_array_equal(np.sort(i1[b]), np.sort(iN[b]))
+    excl = {0: np.array([int(i1[0][0])])}
+    _, ie = topk_mips_sharded(Wneg, Hpos, users, mesh, topk=4, chunk=16,
+                              exclude=excl)
+    assert i1[0][0] not in ie[0]
