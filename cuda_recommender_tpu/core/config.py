@@ -33,7 +33,8 @@ class Backend(str, enum.Enum):
     #: Compiled XLA dense-residual path (CCD) — the single-chip flagship.
     DENSE = "dense"
     #: Dense-residual path with the Pallas fused update+sweep kernel (CCD,
-    #: single chip) — 16 B/cell/rank HBM floor, fastest on TPU.
+    #: single chip). Opt-in: measured on v5e it matches XLA per-pass but XLA
+    #: wins end-to-end through cross-op fusion (ARCHITECTURE.md).
     PALLAS = "pallas"
     #: Compiled XLA padded-ELL path (general sparse; the only ALS compiled path).
     ELL = "ell"

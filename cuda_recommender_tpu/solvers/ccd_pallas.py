@@ -1,12 +1,16 @@
-"""CCD++ — Pallas-fused dense backend (flagship single-chip performance path).
+"""CCD++ — Pallas-fused dense backend (opt-in).
 
 Same math and state as the XLA dense backend (solvers/ccd_dense.py, deferred
 subtract + unconditional add-back) with the rank-1 residual update fused into
 the v-sweep reduction by the Pallas kernel in ops/ccd_pallas.py: 2 HBM passes
 per rank (fused update+v-sweep, then the u-sweep matvecs) — the 16 B/cell/rank
-algorithmic floor. Validated against the NumPy golden solver like every other
-backend (reference dual-backend discipline, src/main.cpp:109-144); on CPU the
-kernel runs in Pallas interpreter mode so tests exercise identical code.
+algorithmic floor in principle. Measured on v5e the kernel matches XLA's own
+fusion per pass (198 vs 218 GB/s) and the pallas_call boundary blocks the
+cross-op fusion XLA exploits, so AUTO prefers the XLA dense backend; this
+path stays as the kernel-infrastructure proof and a revisit point
+(ARCHITECTURE.md roadmap #2). Validated against the NumPy golden solver like
+every other backend; on CPU the kernel runs in Pallas interpreter mode so
+tests exercise identical code.
 """
 
 from __future__ import annotations
