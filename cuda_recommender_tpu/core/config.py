@@ -68,6 +68,11 @@ class Config:
     #: and reported — only live per-iteration wall-timing coarsens.
     fused_outer_iters: int = 1
     ell_min_width: int = 8                 # narrowest ELL bucket width (pow2)
+    #: ALS bucket floor. Sub-128-lane buckets leave VPU/MXU lanes idle in the
+    #: gram einsums; measured at ml20M k=40: width 128 is ~12% faster than 8
+    #: despite 12% more padding. CCD keeps ell_min_width (gather-bound, pays
+    #: for padding directly).
+    als_min_width: int = 128
     #: ALS gram-assembly matmul precision: "highest" = true f32 (golden-grade,
     #: default), "default" = bf16 MXU inputs (~6x faster gram FLOPs, ~0.4%
     #: factor drift per solve — fine for production training, fails the 10%
@@ -98,6 +103,8 @@ class Config:
             raise ValueError("iteration counts must be positive")
         if self.ell_min_width & (self.ell_min_width - 1):
             raise ValueError("ell_min_width must be a power of two")
+        if self.als_min_width & (self.als_min_width - 1):
+            raise ValueError("als_min_width must be a power of two")
         if self.ell_chunk < 128 or (self.ell_chunk & (self.ell_chunk - 1)):
             raise ValueError("ell_chunk must be a power of two >= 128 (it "
                              "must divide every ELL bucket width)")

@@ -66,7 +66,7 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                           ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Multi-device ALS training, entity-major layout in and out."""
     n_dev = mesh.devices.size
-    ell = build_ell_pair(R, min_width=cfg.ell_min_width, num_shards=n_dev)
+    ell = build_ell_pair(R, min_width=cfg.als_min_width, num_shards=n_dev)
     rows, cols = ell.rows_side, ell.cols_side
     sh = ell_shardings(mesh)
     k = W0.shape[1]

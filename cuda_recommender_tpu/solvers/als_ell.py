@@ -170,7 +170,7 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     """Train ALS on the ELL backend (single device). W0 (m, k), H0 (n, k)
     entity-major; returns factors in the same layout/order."""
     if ell is None:
-        ell = build_ell_pair(R, min_width=cfg.ell_min_width, num_shards=1)
+        ell = build_ell_pair(R, min_width=cfg.als_min_width, num_shards=1)
     rows, cols = ell.rows_side, ell.cols_side
     k = W0.shape[1]
 
