@@ -40,14 +40,18 @@ def run_once(R, T, solver: Solver, backend: Backend, k: int, inner: int,
         _, _, stats = fn(R, W0, H0, T, cfg)
     total = time.perf_counter() - t0
     # steady-state iteration time: skip the compile-bearing first two iters
+    # (the NumPy ref solver does not time itself — fall back to wall total)
     steady = [s.rank_time for s in stats[2:]] or [s.rank_time for s in stats]
+    iter_s = sum(steady) / len(steady) if steady else 0.0
+    if iter_s <= 0:
+        iter_s = total / max(1, len(stats))
     return {
         "solver": solver.value, "backend": backend.value, "k": k,
         "inner": inner, "lambda": lam, "iters": iters,
         "total_s": round(total, 4),
-        "iter_s": round(sum(steady) / len(steady), 5),
+        "iter_s": round(iter_s, 5),
         "final_rmse": round(stats[-1].rmse, 5) if stats else None,
-        "ratings_per_s": round(R.nnz * k / (sum(steady) / len(steady)), 1),
+        "ratings_per_s": round(R.nnz * k / iter_s, 1) if iter_s else None,
     }
 
 

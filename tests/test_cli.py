@@ -60,3 +60,40 @@ def test_train_cli_mesh(capsys):
                          "--mesh", "8"])
     assert rc == 0
     assert "iteration num 2" in capsys.readouterr().out
+
+
+def test_bench_cli_sweep(tmp_path, capsys):
+    from cuda_recommender_tpu.cli import bench as cli_bench
+    out = tmp_path / "sweep.jsonl"
+    rc = cli_bench.main(["--dataset", "synthetic:m=120,n=50,nnz=2000",
+                         "--ks", "3", "--inners", "1", "--solvers", "ccd,als",
+                         "--iters", "2", "-o", str(out)])
+    assert rc == 0
+    import json
+    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    assert {r["solver"] for r in recs} == {"ccd", "als"}
+    assert all(r["final_rmse"] is not None for r in recs)
+    # backend labels must reflect what actually ran
+    assert all(r["backend"] in ("dense", "ell") for r in recs)
+
+
+def test_bench_cli_backend_ref(capsys):
+    from cuda_recommender_tpu.cli import bench as cli_bench
+    rc = cli_bench.main(["--dataset", "synthetic:m=80,n=40,nnz=1200",
+                         "--ks", "3", "--solvers", "ccd", "--iters", "1",
+                         "--backend", "ref"])
+    assert rc == 0
+    import json
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["backend"] == "ref"
+
+
+def test_bench_serve_cli(capsys):
+    from cuda_recommender_tpu.cli import bench_serve
+    rc = bench_serve.main(["--dataset", "synthetic:m=300,n=120,nnz=6000",
+                           "--queries", "256", "--batch", "128",
+                           "--chunk", "128", "--topk", "5"])
+    assert rc == 0
+    import json
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] > 0 and rec["unit"] == "queries/s/chip"
