@@ -81,7 +81,6 @@ class Config:
     #: k×k solve implementation: "gj" (batched pivot-free Gauss-Jordan,
     #: VPU-streamed — fast on TPU) or "lax" (cholesky + triangular solves).
     als_solver: str = "gj"
-    ell_growth: float = 2.0                # bucket width growth bound (padding <= growth)
     ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
     eval_chunk: int = 1 << 20              # test-RMSE gather chunk
     dense_max_cells: int = 2_000_000_000   # AUTO picks DENSE below this m*n
