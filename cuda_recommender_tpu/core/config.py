@@ -73,10 +73,10 @@ class Config:
     #: despite 12% more padding. CCD keeps ell_min_width (gather-bound, pays
     #: for padding directly).
     als_min_width: int = 128
-    #: ALS gram-assembly matmul precision: "highest" = true f32 (golden-grade,
-    #: default), "default" = bf16 MXU inputs (~6x faster gram FLOPs, ~0.4%
-    #: factor drift per solve — fine for production training, fails the 10%
-    #: golden bar only on near-zero entries).
+    #: ALS gram-assembly matmul precision. "highest" (true f32) is BOTH the
+    #: golden-grade and the measured-fastest option (ml20M k=40: 0.77 s/iter
+    #: vs 1.05 s for "default" — the bf16 path pays conversion passes on the
+    #: gathered tiles that outweigh its MXU rate, and drifts ~0.4%/solve).
     als_precision: str = "highest"
     #: k×k solve implementation: "gj" (batched pivot-free Gauss-Jordan,
     #: VPU-streamed — fast on TPU) or "lax" (cholesky + triangular solves).
