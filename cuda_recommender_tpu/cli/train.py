@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-CUDA", action="store_true",
                    help="accepted for reference-script compat (compiled "
                         "backend runs by default)")
+    p.add_argument("-nBlocks", type=int, default=32,
+                   help="accepted for reference-script compat (CUDA launch "
+                        "geometry has no TPU meaning)")
+    p.add_argument("-nThreadsPerBlock", type=int, default=256,
+                   help="accepted for reference-script compat")
     # TPU runtime
     p.add_argument("--backend", default="auto",
                    choices=[b.value for b in Backend])
