@@ -78,8 +78,9 @@ class Config:
     #: vs 1.05 s for "default" — the bf16 path pays conversion passes on the
     #: gathered tiles that outweigh its MXU rate, and drifts ~0.4%/solve).
     als_precision: str = "highest"
-    #: k×k solve implementation: "gj" (batched pivot-free Gauss-Jordan,
-    #: VPU-streamed — fast on TPU) or "lax" (cholesky + triangular solves).
+    #: k×k solve implementation: "gj" (VMEM-blocked Pallas Gauss-Jordan —
+    #: fastest), "gj_xla" (the same elimination as XLA ops; HBM-bound), or
+    #: "lax" (cholesky + triangular solves; slowest on TPU).
     als_solver: str = "gj"
     ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
     eval_chunk: int = 1 << 20              # test-RMSE gather chunk
@@ -107,8 +108,8 @@ class Config:
         if self.ell_chunk < 128 or (self.ell_chunk & (self.ell_chunk - 1)):
             raise ValueError("ell_chunk must be a power of two >= 128 (it "
                              "must divide every ELL bucket width)")
-        if self.als_solver not in ("gj", "lax"):
-            raise ValueError(f"als_solver must be 'gj' or 'lax', "
+        if self.als_solver not in ("gj", "gj_xla", "lax"):
+            raise ValueError(f"als_solver must be 'gj', 'gj_xla' or 'lax', "
                              f"got {self.als_solver!r}")
         if self.als_precision not in ("highest", "default"):
             raise ValueError(f"als_precision must be 'highest' or 'default', "

@@ -108,6 +108,13 @@ def gauss_jordan_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _solve_kxk(A, r, solver: str):
     if solver == "gj":
+        # VMEM-blocked Pallas kernel: the XLA loop variant streams the whole
+        # augmented tensor through HBM on every elimination step (~173 ms per
+        # ALS side at ml20M k=40); the kernel keeps each block resident
+        from ..ops.gj_pallas import gj_solve_pallas
+        return gj_solve_pallas(A, r,
+                               interpret=jax.default_backend() == "cpu")
+    if solver == "gj_xla":
         return gauss_jordan_solve(A, r)
     C = jnp.linalg.cholesky(A)
     y = jax.scipy.linalg.solve_triangular(C, r[..., None], lower=True)
