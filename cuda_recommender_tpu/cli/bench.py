@@ -21,9 +21,7 @@ def run_once(R, T, solver: Solver, backend: Backend, k: int, inner: int,
 
     cfg = Config(solver=solver, k=k, maxiter=iters, maxinneriter=inner,
                  lambda_=lam, backend=backend, seed=seed)
-    backend = cfg.resolve_backend(R.rows, R.cols)
-    if solver == Solver.ALS and backend in (Backend.DENSE, Backend.PALLAS):
-        backend = Backend.ELL          # ALS has no dense-residual path
+    backend = cfg.resolve_backend(R.rows, R.cols)   # normalizes ALS → ELL
     entity_major = solver == Solver.ALS
     W0, H0 = init_factors_np(k, R.rows, R.cols, seed=seed,
                              entity_major=entity_major)
@@ -51,7 +49,13 @@ def run_once(R, T, solver: Solver, backend: Backend, k: int, inner: int,
         "total_s": round(total, 4),
         "iter_s": round(iter_s, 5),
         "final_rmse": round(stats[-1].rmse, 5) if stats else None,
-        "ratings_per_s": round(R.nnz * k / iter_s, 1) if iter_s else None,
+        # Unit discipline (one definition everywhere):
+        #   rating_updates_per_s = nnz * k / iter_s  (CCD++ sweeps touch every
+        #     rating once per rank — the reference kernel's work unit)
+        #   ratings_per_s        = nnz / iter_s      (ALS visits every rating
+        #     once per side-update)
+        "rating_updates_per_s": round(R.nnz * k / iter_s, 1) if iter_s else None,
+        "ratings_per_s": round(R.nnz / iter_s, 1) if iter_s else None,
     }
 
 

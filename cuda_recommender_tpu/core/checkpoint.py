@@ -37,7 +37,13 @@ class Checkpointer:
         return arr
 
     def save(self, oiter: int, *, W: np.ndarray, H: np.ndarray,
-             solver: str, backend: str, extra: Optional[dict] = None) -> str:
+             solver: str, backend: str, extra: Optional[dict] = None,
+             meta: Optional[dict] = None) -> str:
+        """``meta`` records the layout-determining knobs (k, num_shards, ELL
+        min_width, ...): ELL payloads are slot-space and only valid under the
+        exact slot permutation those knobs produced, so resume validates them
+        (the solver/backend check alone would accept silently-wrong factors
+        whenever shapes happen to coincide)."""
         arrays = {"W": self._native(W), "H": self._native(H)}
         for name, arr in (extra or {}).items():
             arrays[f"extra_{name}"] = self._native(arr)
@@ -47,7 +53,7 @@ class Checkpointer:
             np.savez(f, **arrays)
         os.replace(tmp, path)                      # atomic publish
         manifest = {"latest": oiter, "solver": solver, "backend": backend,
-                    "file": os.path.basename(path)}
+                    "meta": meta or {}, "file": os.path.basename(path)}
         mtmp = os.path.join(self.dir, "manifest.json.tmp")
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
@@ -75,6 +81,7 @@ class Checkpointer:
             out = {"oiter": int(manifest["latest"]),
                    "solver": manifest.get("solver"),
                    "backend": manifest.get("backend"),
+                   "meta": manifest.get("meta", {}),
                    "W": z["W"], "H": z["H"], "extra": {}}
             for key in z.files:
                 if key.startswith("extra_"):

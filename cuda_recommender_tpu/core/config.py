@@ -120,8 +120,17 @@ class Config:
 
     def resolve_backend(self, m: int, n: int) -> Backend:
         """AUTO resolution: dense residual for CCD when it fits (the Pallas
-        fused kernel on TPU, plain XLA elsewhere), ELL otherwise."""
+        fused kernel on TPU, plain XLA elsewhere), ELL otherwise.
+
+        ALS has exactly one compiled path (ELL): an explicit ``dense`` or
+        ``pallas`` request normalizes to ELL here so that logs, metrics and
+        checkpoint manifests always record the backend that actually ran
+        (previously the trainer dispatched ELL while reporting the requested
+        name)."""
         if self.backend != Backend.AUTO:
+            if (self.solver == Solver.ALS
+                    and self.backend in (Backend.DENSE, Backend.PALLAS)):
+                return Backend.ELL
             return self.backend
         if self.solver == Solver.CCD and m * n <= self.dense_max_cells:
             # Measured on v5e: XLA's own fusion of the dense schedule matches

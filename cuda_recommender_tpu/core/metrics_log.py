@@ -32,23 +32,29 @@ class MetricsLog:
     def iteration(self, solver: str, backend: str, oiter: int, rmse: float,
                   rank_time: float, rank_time_acc: float,
                   update_time: float = 0.0, update_time_acc: float = 0.0,
-                  rmse_time: float = 0.0) -> None:
+                  rmse_time=None) -> None:
         """Reference iteration-line parity: CCD prints rank_time and
-        update_time (src/CCD.cpp:158), ALS only update_time (src/ALS.cpp:229)."""
+        update_time (src/CCD.cpp:158), ALS only update_time (src/ALS.cpp:229).
+
+        ``rmse_time`` is printed only when the caller actually measured it
+        (the reference fences and times every RMSE kernel; our fused-dispatch
+        loop cannot separate it, so the field is omitted rather than printed
+        as a fake 0)."""
         if self.echo:
+            t = "" if rmse_time is None else (" time:%fs" % rmse_time)
             if solver == "ccd":
                 print("[-INFO-] iteration num %d \trank_time %.4f|%.4f s "
-                      "\tupdate_time %.4f|%.4fs \tRMSE=%f time:%fs"
+                      "\tupdate_time %.4f|%.4fs \tRMSE=%f%s"
                       % (oiter, rank_time, rank_time_acc, update_time,
-                         update_time_acc, rmse, rmse_time), flush=True)
+                         update_time_acc, rmse, t), flush=True)
             else:
                 print("[-INFO-] iteration num %d \tupdate_time %.4f|%.4fs "
-                      "\tRMSE=%f time:%fs"
-                      % (oiter, rank_time, rank_time_acc, rmse, rmse_time),
+                      "\tRMSE=%f%s"
+                      % (oiter, update_time, update_time_acc, rmse, t),
                       flush=True)
         self.event("iteration", solver=solver, backend=backend, oiter=oiter,
                    rmse=rmse, rank_time=rank_time, update_time=update_time,
-                   rmse_time=rmse_time)
+                   **({} if rmse_time is None else {"rmse_time": rmse_time}))
 
     def close(self) -> None:
         if self._fp:

@@ -50,10 +50,19 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
     acc = {"rank": 0.0, "upd": 0.0}
 
     def cb(st):
+        if cfg.solver == Solver.ALS:
+            # ALS emits one wall time per iteration; the reference prints it
+            # under the update_time label (src/ALS.cpp:224-229).
+            acc["upd"] += st.rank_time
+            log.iteration(cfg.solver.value, backend.value, st.oiter, st.rmse,
+                          0.0, 0.0, st.rank_time, acc["upd"],
+                          rmse_time=getattr(st, "rmse_time", None))
+            return
         acc["rank"] += st.rank_time
         acc["upd"] += st.update_time
         log.iteration(cfg.solver.value, backend.value, st.oiter, st.rmse,
-                      st.rank_time, acc["rank"], st.update_time, acc["upd"])
+                      st.rank_time, acc["rank"], st.update_time, acc["upd"],
+                      rmse_time=getattr(st, "rmse_time", None))
 
     if backend == Backend.REF:
         # the NumPy golden solver requested explicitly as the main backend
@@ -62,11 +71,12 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
 
     kw: dict = dict(callback=cb)
     if ckpt is not None:
+        meta = checkpoint_meta(cfg, backend, mesh)
         kw.update(ckpt_every=cfg.checkpoint_every,
                   ckpt_fn=lambda oiter, payload: ckpt.save(
                       oiter, W=payload.pop("W"), H=payload.pop("H"),
                       solver=cfg.solver.value, backend=backend.value,
-                      extra=payload))
+                      extra=payload, meta=meta))
     if resume is not None:
         kw.update(resume=resume)
 
@@ -96,15 +106,29 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
     return ccd_ell_train(R, W0, H0, T, cfg, **kw)
 
 
+def checkpoint_meta(cfg: Config, backend: Backend, mesh) -> dict:
+    """Layout-determining knobs stamped into the checkpoint manifest: ELL
+    payloads are slot-space, so resuming under a different k / shard count /
+    bucket-width would map them onto a different slot permutation — a shape
+    error at best, silently wrong factors when shapes coincide."""
+    min_width = (cfg.als_min_width if cfg.solver == Solver.ALS
+                 else cfg.ell_min_width)
+    return {"k": cfg.k,
+            "num_shards": int(mesh.devices.size) if mesh is not None else 1,
+            "min_width": min_width}
+
+
 def _run_reference(cfg: Config, R, W0, H0, T, log):
     from ..solvers.reference import als_reference, ccd_reference
 
-    acc = {"t": 0.0}
+    acc = {"rank": 0.0, "upd": 0.0}
 
     def cb(st):
-        acc["t"] += st.rank_time
+        acc["rank"] += st.rank_time
+        acc["upd"] += st.update_time
         log.iteration(cfg.solver.value, "ref", st.oiter, st.rmse,
-                      st.rank_time, acc["t"])
+                      st.rank_time, acc["rank"], st.update_time, acc["upd"],
+                      rmse_time=getattr(st, "rmse_time", None))
 
     W, H = W0.copy(), H0.copy()
     if cfg.solver == Solver.ALS:
@@ -150,6 +174,16 @@ def train(cfg: Config, R: RatingMatrix, T: TestCOO, *,
                     f"{latest.get('solver')} backend={latest.get('backend')} "
                     f"but this run is solver={cfg.solver.value} "
                     f"backend={backend.value} — payloads are incompatible")
+            want = checkpoint_meta(cfg, backend, mesh)
+            have = latest.get("meta") or {}
+            bad = {key: (have[key], want[key]) for key in want
+                   if key in have and have[key] != want[key]}
+            if bad:
+                raise ValueError(
+                    "checkpoint layout mismatch (slot-space payloads are only "
+                    "valid under the writing run's layout knobs): "
+                    + ", ".join(f"{key}: checkpoint={a} run={b}"
+                                for key, (a, b) in bad.items()))
             resume = {"oiter": latest["oiter"], "W": latest["W"],
                       "H": latest["H"], **latest["extra"]}
             log.info(f"[info] resuming from checkpoint oiter={latest['oiter']}")

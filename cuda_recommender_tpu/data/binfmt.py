@@ -73,7 +73,8 @@ def load_binary_dataset(dirname: str) -> tuple[RatingMatrix, TestCOO]:
     names = tokens[3:12]
     nnz_test = int(tokens[12])
     test_names = tokens[13:16]
-    p = lambda name: os.path.join(dirname, name)
+    def p(name):
+        return os.path.join(dirname, name)
 
     csr_ptr = np.fromfile(p(names[3]), dtype="<i4", count=m + 1).astype(np.int64)
     csr_idx = np.fromfile(p(names[4]), dtype="<u4", count=nnz).astype(np.int32)

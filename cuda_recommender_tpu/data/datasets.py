@@ -32,13 +32,16 @@ def synthetic(m: int, n: int, nnz: int, *, k_true: int = 8, noise: float = 0.1,
         # inverse-CDF sampling (cumsum + searchsorted) scales to 100M+ draws.
         cu = np.cumsum(1.0 / np.arange(1, m + 1) ** 0.8)
         ci = np.cumsum(1.0 / np.arange(1, n + 1) ** 0.9)
-        cu /= cu[-1]; ci /= ci[-1]
-        draw = lambda size: (
-            np.searchsorted(cu, rng.random(size)).astype(np.int64),
-            np.searchsorted(ci, rng.random(size)).astype(np.int64))
+        cu /= cu[-1]
+        ci /= ci[-1]
+
+        def draw(size):
+            return (np.searchsorted(cu, rng.random(size)).astype(np.int64),
+                    np.searchsorted(ci, rng.random(size)).astype(np.int64))
     else:
-        draw = lambda size: (rng.integers(0, m, size=size).astype(np.int64),
-                             rng.integers(0, n, size=size).astype(np.int64))
+        def draw(size):
+            return (rng.integers(0, m, size=size).astype(np.int64),
+                    rng.integers(0, n, size=size).astype(np.int64))
 
     # dedupe on packed keys; overdraw once, top up if collisions ran heavy
     keys = np.empty(0, np.int64)

@@ -63,7 +63,9 @@ def fused_update_vsweep(Rhat, mask, u_add, u_sub, v_add, v_sub, *,
     m, n = Rhat.shape
     assert m % bm == 0 and n % bn == 0, (m, n)
     grid = (n // bn, m // bm)
-    col2 = lambda j, i: (0, j)
+
+    def col2(j, i):
+        return (0, j)
     out = pl.pallas_call(
         _fused_update_vsweep_kernel,
         grid=grid,

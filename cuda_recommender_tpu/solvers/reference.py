@@ -25,6 +25,7 @@ update reads the frozen opposite-side vector).
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import numpy as np
 
@@ -38,6 +39,9 @@ class IterStats:
     rmse: float
     rank_time: float = 0.0
     update_time: float = 0.0
+    #: measured RMSE-eval wall time, or None when the loop fused the eval into
+    #: the training dispatch and could not honestly separate it
+    rmse_time: object = None
 
 
 def _sweep_side(ptr, idx, vals, other, lam):
@@ -81,21 +85,33 @@ def ccd_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
     csr_vals = R.csr_val.copy()                   # residual, CSR order (the Rt copy)
     stats = []
     for oiter in range(1, maxiter + 1):
+        # rank_time / update_time split per the reference's omp_get_wtime
+        # phase accumulators (src/CCD.cpp:76-139)
+        rank_t = upd_t = 0.0
         for t in range(k):
             u = W[t].copy()
             v = H[t].copy()
             if oiter > 1:                         # src/CCD.cpp:100-103
+                t0 = time.perf_counter()
                 _update_rating(R.csc_ptr, R.csc_idx, csc_vals, u, v, add=True)
                 _update_rating(R.csr_ptr, R.csr_idx, csr_vals, v, u, add=True)
+                upd_t += time.perf_counter() - t0
+            t0 = time.perf_counter()
             for _ in range(maxinneriter):         # src/CCD.cpp:107-123
                 v = _sweep_side(R.csc_ptr, R.csc_idx, csc_vals, u, lam)
                 u = _sweep_side(R.csr_ptr, R.csr_idx, csr_vals, v, lam)
+            rank_t += time.perf_counter() - t0
             W[t] = u                              # src/CCD.cpp:128-134
             H[t] = v
+            t0 = time.perf_counter()
             _update_rating(R.csc_ptr, R.csc_idx, csc_vals, u, v, add=False)
             _update_rating(R.csr_ptr, R.csr_idx, csr_vals, v, u, add=False)
+            upd_t += time.perf_counter() - t0
+        t0 = time.perf_counter()
         rmse = calrmse_np(T, W, H, entity_major=False)
-        stats.append(IterStats(oiter=oiter, rmse=rmse))
+        stats.append(IterStats(oiter=oiter, rmse=rmse, rank_time=rank_t,
+                               update_time=upd_t,
+                               rmse_time=time.perf_counter() - t0))
         if callback:
             callback(stats[-1])
     return stats
@@ -125,10 +141,15 @@ def als_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
     k = W.shape[1]
     stats = []
     for oiter in range(1, maxiter + 1):
+        t0 = time.perf_counter()
         W[:] = _als_update_side(R.csr_ptr, R.csr_idx, R.csr_val, H, lambda_, k)
         H[:] = _als_update_side(R.csc_ptr, R.csc_idx, R.csc_val, W, lambda_, k)
+        upd_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
         rmse = calrmse_np(T, W, H, entity_major=True)
-        stats.append(IterStats(oiter=oiter, rmse=rmse))
+        stats.append(IterStats(oiter=oiter, rmse=rmse, rank_time=upd_t,
+                               update_time=upd_t,
+                               rmse_time=time.perf_counter() - t0))
         if callback:
             callback(stats[-1])
     return stats

@@ -42,6 +42,14 @@ def test_string_coercion():
     assert c.solver is Solver.ALS and c.backend is Backend.DENSE
 
 
+def test_als_explicit_dense_pallas_normalize_to_ell():
+    """ALS has exactly one compiled path; an explicit dense/pallas request
+    resolves to ELL so reported backend == executed backend."""
+    assert Config(solver="als", backend="dense").resolve_backend(5, 5) == Backend.ELL
+    assert Config(solver="als", backend="pallas").resolve_backend(5, 5) == Backend.ELL
+    assert Config(solver="als", backend="ref").resolve_backend(5, 5) == Backend.REF
+
+
 def test_solver_knob_validation():
     with pytest.raises(ValueError):
         Config(als_solver="GJ")

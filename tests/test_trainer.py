@@ -104,3 +104,39 @@ def test_resume_backend_mismatch_raises(small_data, tmp_path):
     with pytest.raises(ValueError, match="incompatible"):
         train(Config(k=4, maxiter=2, backend="ell", checkpoint_dir=ck,
                      checkpoint_every=1), R, T, resume_from_checkpoint=True)
+
+
+def test_resume_layout_mismatch_raises(small_data, tmp_path):
+    """Resuming under a different slot-layout knob (ell_min_width) must be
+    rejected: ELL payloads are only valid under the writing run's slot
+    permutation, even when array shapes happen to coincide."""
+    R, T = small_data
+    ck = str(tmp_path / "ck")
+    train(Config(k=4, maxiter=1, backend="ell", ell_min_width=8,
+                 checkpoint_dir=ck, checkpoint_every=1), R, T)
+    import pytest
+    with pytest.raises(ValueError, match="layout mismatch"):
+        train(Config(k=4, maxiter=2, backend="ell", ell_min_width=16,
+                     checkpoint_dir=ck, checkpoint_every=1), R, T,
+              resume_from_checkpoint=True)
+
+
+def test_als_backend_request_normalizes_to_ell(small_data, capsys):
+    """-ALS --backend dense|pallas must run AND report the ELL path — the
+    round-1 behavior ran ELL while logging the requested backend name."""
+    R, T = small_data
+    res = train(Config(solver="als", k=4, maxiter=1, backend="dense"), R, T)
+    assert res.backend == "ell"
+    assert "Backend = ell" in capsys.readouterr().out
+
+
+def test_als_iteration_line_uses_update_time_label(small_data, capsys):
+    """ALS per-iteration wall time must appear under the update_time label
+    with a real (nonzero) value (src/ALS.cpp:224-229 parity)."""
+    R, T = small_data
+    train(Config(solver="als", k=4, maxiter=1), R, T)
+    out = capsys.readouterr().out
+    line = next(ln for ln in out.splitlines() if ln.startswith("[-INFO-]"))
+    assert "update_time" in line and "rank_time" not in line
+    val = float(line.split("update_time")[1].split("|")[0])
+    assert val > 0.0
