@@ -38,8 +38,13 @@ class Backend(str, enum.Enum):
     PALLAS = "pallas"
     #: Compiled XLA padded-ELL path (general sparse; the only ALS compiled path).
     ELL = "ell"
-    #: Pick the dense-residual path for CCD when it fits (Pallas kernel on
-    #: TPU, plain XLA elsewhere), else ELL.
+    #: Hybrid dense+ELL path (CCD, single chip): top-degree users get a dense
+    #: residual sub-block (MXU/HBM-bound), the light tail stays padded-ELL.
+    #: The large-matrix flagship — beats pure ELL by moving most ratings off
+    #: the ~0.3 G rows/s gather path (solvers/ccd_hybrid.py).
+    HYBRID = "hybrid"
+    #: Pick the dense-residual path for CCD when it fits, the hybrid path for
+    #: larger matrices (single device), ELL otherwise.
     AUTO = "auto"
 
 
@@ -85,6 +90,11 @@ class Config:
     ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
     eval_chunk: int = 1 << 20              # test-RMSE gather chunk
     dense_max_cells: int = 2_000_000_000   # AUTO picks DENSE below this m*n
+    #: Hybrid backend: cell budget for the dense sub-block (top-degree users
+    #: x all items). D = min(m, budget // n). Default 2e9 cells ≈ 8 GB at
+    #: bf16 residual + bf16 mask — sized for one 16 GB v5e with ELL buffers,
+    #: factors and the test set resident.
+    hybrid_dense_cells: int = 2_000_000_000
 
     # --- io ---
     data_dir: Optional[str] = None         # positional data_dir (reference CLI)
@@ -118,24 +128,32 @@ class Config:
             raise ValueError(f"residual_dtype must be 'float32' or "
                              f"'bfloat16', got {self.residual_dtype!r}")
 
-    def resolve_backend(self, m: int, n: int) -> Backend:
+    def resolve_backend(self, m: int, n: int, *,
+                        sharded: bool = False) -> Backend:
         """AUTO resolution: dense residual for CCD when it fits (the Pallas
-        fused kernel on TPU, plain XLA elsewhere), ELL otherwise.
+        fused kernel on TPU, plain XLA elsewhere); for larger matrices the
+        hybrid dense+ELL path on a single device, ELL when sharded (the
+        hybrid split is single-chip for now).
 
         ALS has exactly one compiled path (ELL): an explicit ``dense`` or
         ``pallas`` request normalizes to ELL here so that logs, metrics and
         checkpoint manifests always record the backend that actually ran
         (previously the trainer dispatched ELL while reporting the requested
-        name)."""
+        name). HYBRID is CCD-only, so it normalizes too."""
         if self.backend != Backend.AUTO:
             if (self.solver == Solver.ALS
-                    and self.backend in (Backend.DENSE, Backend.PALLAS)):
+                    and self.backend in (Backend.DENSE, Backend.PALLAS,
+                                         Backend.HYBRID)):
                 return Backend.ELL
             return self.backend
-        if self.solver == Solver.CCD and m * n <= self.dense_max_cells:
+        if self.solver != Solver.CCD:
+            return Backend.ELL
+        if m * n <= self.dense_max_cells:
             # Measured on v5e: XLA's own fusion of the dense schedule matches
             # the Pallas kernel per-pass (218 vs 198 GB/s) and wins end-to-end
             # because it can fuse across the whole rank body; PALLAS stays an
             # explicit opt-in backend.
             return Backend.DENSE
+        if not sharded and self.hybrid_dense_cells // max(1, n) > 0:
+            return Backend.HYBRID
         return Backend.ELL

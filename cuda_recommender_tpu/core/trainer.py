@@ -92,6 +92,13 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
                 "with --mesh")
         from ..solvers.ccd_pallas import ccd_pallas_train
         return ccd_pallas_train(R, W0, H0, T, cfg, **kw)
+    if backend == Backend.HYBRID:
+        if mesh is not None:
+            raise NotImplementedError(
+                "the hybrid backend is single-chip; use backend=dense or ell "
+                "with --mesh (AUTO already resolves to ELL when sharded)")
+        from ..solvers.ccd_hybrid import ccd_hybrid_train
+        return ccd_hybrid_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.DENSE:
         if mesh is not None:
             from ..parallel.mesh import (dense_ccd_shardings,
@@ -148,7 +155,7 @@ def train(cfg: Config, R: RatingMatrix, T: TestCOO, *,
     checkpoint/resume (cfg.checkpoint_dir / resume_from_checkpoint)."""
     log = log or MetricsLog(cfg.metrics_file)
     entity_major = cfg.solver == Solver.ALS
-    backend = cfg.resolve_backend(R.rows, R.cols)
+    backend = cfg.resolve_backend(R.rows, R.cols, sharded=mesh is not None)
     log.info(f"[info] Picked Version: {cfg.solver.value.upper()}!")
     log.info("[info] Backend = %s | K = %d | InnerIter = %d | OuterIter = %d "
              "| L = %.3f" % (backend.value, cfg.k, cfg.maxinneriter,

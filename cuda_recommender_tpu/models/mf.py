@@ -90,6 +90,9 @@ def get_train_fn(solver: Solver, backend: Backend, *,
     if backend == Backend.DENSE:
         from ..solvers.ccd_dense import ccd_dense_train
         return ccd_dense_train
+    if backend == Backend.HYBRID:
+        from ..solvers.ccd_hybrid import ccd_hybrid_train
+        return ccd_hybrid_train
     if sharded:
         from ..parallel.ccd_ell_sharded import ccd_ell_train_sharded
         return ccd_ell_train_sharded

@@ -79,6 +79,31 @@ def sweep_new_values(idx_tiles, val_tiles, side: EllSide, other_ext: jnp.ndarray
     return jnp.where(slot_nnz > 0, new_vals, 0.0), gathers
 
 
+def sweep_partials(idx_tiles, val_tiles, side: EllSide, other_ext,
+                   gathered=None) -> tuple[jnp.ndarray, jnp.ndarray, list]:
+    """Per-slot sweep partial sums WITHOUT the division: g = Σ other[idx]*val,
+    h = Σ other[idx]² as full slot vectors (zero tail for non-bucket slots).
+
+    Used by the hybrid backend (solvers/ccd_hybrid.py), which combines these
+    with the dense sub-block's matvec partials before forming
+    new_j = (g_ell + g_dense) / (λ·nnz_total + h_ell + h_dense) — the same
+    RankOneUpdate math (src/CCD.cpp:6-16) with the Ω_j sum split by part.
+    Returns (g, h, per-bucket gathered tiles for reuse)."""
+    if not side.buckets:
+        z = jnp.zeros(side.n_slots, jnp.float32)
+        return z, z, []
+    gs, hs, gathers = [], [], []
+    for i, b in enumerate(side.buckets):
+        og = other_ext[idx_tiles[i]] if gathered is None else gathered[i]
+        gathers.append(og)
+        gs.append(lanes_to_slots(og * val_tiles[i], b))
+        hs.append(lanes_to_slots(og * og, b))
+    tail = side.n_slots - (side.bucket_offsets[-1]
+                           + side.buckets[-1].slots_per_shard)
+    ztail = [jnp.zeros(tail, jnp.float32)] if tail else []
+    return (jnp.concatenate(gs + ztail), jnp.concatenate(hs + ztail), gathers)
+
+
 def residual_update(idx_tiles, val_tiles, side: EllSide, other_ext: jnp.ndarray,
                     own_slots: jnp.ndarray, sign: float,
                     gathered=None) -> tuple[jnp.ndarray, ...]:

@@ -1,0 +1,141 @@
+"""Hybrid dense+ELL CCD++ backend: golden parity across split points,
+degenerate splits (all-dense / all-ELL), inner iterations, empty entities,
+checkpoint/resume — the same discipline as the other compiled backends
+(reference dual-backend validation, /root/reference/src/main.cpp:109-144)."""
+
+import numpy as np
+import pytest
+
+from cuda_recommender_tpu.core.config import Backend, Config
+from cuda_recommender_tpu.core.init import init_factors_np
+from cuda_recommender_tpu.eval.metrics import golden_compare
+from cuda_recommender_tpu.solvers.ccd_dense import ccd_dense_train
+from cuda_recommender_tpu.solvers.ccd_hybrid import ccd_hybrid_train, plan_hybrid
+from cuda_recommender_tpu.solvers.reference import ccd_reference
+
+K = 6
+
+
+@pytest.fixture(scope="module")
+def ccd_golden(small_data):
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    W, H = W0.copy(), H0.copy()
+    stats = ccd_reference(R, W, H, T, lambda_=0.1, maxiter=3, maxinneriter=1)
+    return W0, H0, W, H, stats
+
+
+def _assert_matches(W, H, stats, Wr, Hr, stats_r, tol=1e-3):
+    assert golden_compare(W, Wr, atol=1e-3).passed
+    assert golden_compare(H, Hr, atol=1e-3).passed
+    for a, b in zip(stats, stats_r):
+        assert abs(a.rmse - b.rmse) < tol
+
+
+@pytest.mark.parametrize("dense_cells", [
+    100 * 120,        # mid split: top-100 users dense, 200 in ELL
+    300 * 120,        # degenerate: every user dense (no light part)
+    0,                # degenerate: no dense part (pure ELL)
+])
+def test_hybrid_golden_across_splits(small_data, ccd_golden, dense_cells):
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                 backend="hybrid", hybrid_dense_cells=dense_cells)
+    W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    _assert_matches(W, H, stats, Wr, Hr, stats_r)
+
+
+def test_hybrid_plan_split(small_data):
+    """The dense set must be the top-degree users and cover the cell budget;
+    every user lands in exactly one part."""
+    R, _ = small_data
+    cfg = Config(backend="hybrid", hybrid_dense_cells=50 * R.cols)
+    plan = plan_hybrid(R, cfg)
+    assert plan.D_real == 50 and plan.D % 8 == 0
+    deg = R.row_nnz
+    assert deg[plan.dense_ids].min() >= deg[plan.light_ids].max()
+    both = np.concatenate([plan.dense_ids, plan.light_ids])
+    assert np.array_equal(np.sort(both), np.arange(R.rows))
+
+
+def test_hybrid_matches_dense_inner2(tiny_data):
+    R, T = tiny_data
+    W0, H0 = init_factors_np(4, R.rows, R.cols, seed=1)
+    cfg_d = Config(k=4, maxiter=2, maxinneriter=2, lambda_=0.05)
+    cfg_h = Config(k=4, maxiter=2, maxinneriter=2, lambda_=0.05,
+                   backend="hybrid", hybrid_dense_cells=20 * R.cols)
+    Wd, Hd, _ = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg_d)
+    Wh, Hh, _ = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg_h)
+    np.testing.assert_allclose(Wd, Wh, atol=1e-4)
+    np.testing.assert_allclose(Hd, Hh, atol=1e-4)
+
+
+def test_hybrid_empty_entities_zero_lambda():
+    """Empty rows/cols with λ=0 give exact-0 factors, never NaN, in both
+    parts of the split (src/CCD.cpp:8)."""
+    from cuda_recommender_tpu.data.sparse import from_coo, make_test
+    R = from_coo(6, 5, [0, 1, 1, 3], [0, 1, 2, 0], [4.0, 3.0, 5.0, 2.0])
+    T = make_test(6, 5, [0], [0], [4.0])
+    W0, H0 = init_factors_np(3, 6, 5, seed=0)
+    cfg = Config(k=3, maxiter=2, lambda_=0.0, backend="hybrid",
+                 hybrid_dense_cells=2 * 5)       # 2 dense users, 4 light
+    W, H, _ = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert np.all(W[:, [2, 4, 5]] == 0)
+    assert np.all(H[:, [3, 4]] == 0)
+    assert np.isfinite(W).all() and np.isfinite(H).all()
+
+
+def test_hybrid_fused_iters_equivalent(small_data):
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    base = dict(k=K, maxiter=4, lambda_=0.1, backend="hybrid",
+                hybrid_dense_cells=100 * R.cols)
+    W1, H1, s1 = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
+                                  Config(**base))
+    W3, H3, s3 = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
+                                  Config(fused_outer_iters=3, **base))
+    np.testing.assert_allclose(W1, W3, atol=1e-6)
+    np.testing.assert_allclose(H1, H3, atol=1e-6)
+    for a, b in zip(s1, s3):
+        assert abs(a.rmse - b.rmse) < 1e-5
+
+
+def test_hybrid_bf16_residual(small_data, ccd_golden):
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    cfg = Config(k=K, maxiter=3, lambda_=0.1, backend="hybrid",
+                 hybrid_dense_cells=100 * R.cols,
+                 residual_dtype="bfloat16")
+    W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert np.isfinite(W).all()
+    for a, b in zip(stats, stats_r):
+        assert abs(a.rmse - b.rmse) < 0.02
+
+
+def test_hybrid_trainer_resume(small_data, tmp_path):
+    """Straight 4-iter run == 2 iters -> resume -> 2 more through the
+    trainer (dense residual, ELL residual buckets and pend state all
+    roundtrip)."""
+    from cuda_recommender_tpu.core.trainer import train
+    R, T = small_data
+    base = dict(k=4, lambda_=0.1, backend="hybrid",
+                hybrid_dense_cells=100 * R.cols)
+    full = train(Config(maxiter=4, **base), R, T)
+    ck = str(tmp_path / "ck")
+    train(Config(maxiter=2, checkpoint_dir=ck, checkpoint_every=1, **base),
+          R, T)
+    resumed = train(Config(maxiter=4, checkpoint_dir=ck, checkpoint_every=1,
+                           **base), R, T, resume_from_checkpoint=True)
+    np.testing.assert_allclose(full.W, resumed.W, atol=1e-6)
+    np.testing.assert_allclose(full.H, resumed.H, atol=1e-6)
+
+
+def test_auto_resolves_hybrid_when_dense_too_big():
+    cfg = Config(backend="auto", dense_max_cells=1000)
+    assert cfg.resolve_backend(1000, 1000) == Backend.HYBRID
+    # sharded runs keep the ELL path (hybrid is single-chip)
+    assert cfg.resolve_backend(1000, 1000, sharded=True) == Backend.ELL
+    # ALS never routes to hybrid
+    assert Config(solver="als", backend="hybrid").resolve_backend(5, 5) \
+        == Backend.ELL
