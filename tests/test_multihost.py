@@ -1,6 +1,16 @@
-"""Multi-host plumbing on the 8-virtual-device CPU mesh (single process —
-the make_array_from_single_device_arrays path is identical under real
-multi-process jax.distributed, where each host supplies only its blocks)."""
+"""Multi-host execution tests.
+
+Two layers: single-process unit tests of the plumbing on the 8-virtual-device
+CPU mesh, and a REAL multi-process test that spawns two worker processes
+(4 virtual devices each), runs ``jax.distributed.initialize`` + Gloo
+cross-process collectives through the production shard_map CCD++ step
+(tests/multihost_worker.py), and asserts the reassembled factors are
+bit-identical to the single-process sharded run."""
+
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import numpy as np
@@ -40,3 +50,61 @@ def test_assemble_global_wrong_count():
         assert "local blocks" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_two_process_distributed_matches_single_process(tmp_path):
+    """Spawn 2 real OS processes, each owning 4 CPU devices, joined via
+    jax.distributed.initialize; run 2 sharded CCD++ outer iterations with
+    cross-process all_gather collectives; the factors each process's
+    addressable shards contribute must reassemble to EXACTLY the
+    single-process 8-device result (the step is deterministic)."""
+    import multihost_worker as mw          # constants shared with the worker
+
+    with socket.socket() as s:             # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    # single-process reference on this process's 8 virtual devices
+    from cuda_recommender_tpu.core.config import Config
+    from cuda_recommender_tpu.core.init import init_factors_np
+    from cuda_recommender_tpu.data.datasets import synthetic
+    from cuda_recommender_tpu.data.ell import build_ell_pair
+    from cuda_recommender_tpu.parallel.ccd_ell_sharded import (
+        ccd_ell_train_sharded)
+
+    R, T = synthetic(m=mw.M, n=mw.N, nnz=mw.NNZ, seed=mw.SEED)
+    ell = build_ell_pair(R, min_width=8, num_shards=8)
+    W0, H0 = init_factors_np(mw.K, mw.M, mw.N, seed=0)
+    cfg = Config(k=mw.K, maxiter=mw.ITERS, lambda_=mw.LAM, backend="ell")
+    W1, H1, _ = ccd_ell_train_sharded(R, W0.copy(), H0.copy(), T, cfg,
+                                      make_mesh())
+
+    Wg = np.zeros((mw.K, ell.rows_side.n_slots), np.float32)
+    Hg = np.zeros((mw.K, ell.cols_side.n_slots), np.float32)
+    seen = 0
+    for pid in range(2):
+        z = np.load(tmp_path / f"shards_{pid}.npz")
+        for key in z.files:
+            name, start = key.rsplit("_", 1)
+            block = z[key]
+            tgt = Wg if name == "W" else Hg
+            tgt[:, int(start):int(start) + block.shape[1]] = block
+            seen += block.shape[1]
+    assert seen == ell.rows_side.n_slots + ell.cols_side.n_slots
+    np.testing.assert_array_equal(W1, Wg[:, ell.rows_side.slot_of_entity])
+    np.testing.assert_array_equal(H1, Hg[:, ell.cols_side.slot_of_entity])
