@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2-D (users x items) mesh for the dense CCD backend")
     p.add_argument("--fused-iters", type=int, default=1, dest="fused_iters",
                    help="outer iterations fused per device dispatch")
+    p.add_argument("--phase-timing", action="store_true", dest="phase_timing",
+                   help="dispatch rank phases separately with fences so the "
+                        "iteration line's rank_time/update_time split is a "
+                        "real measurement (reference per-phase timers); with "
+                        "-q 1 also prints per-rank residual RMSE")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--residual-dtype", default="float32",
                    choices=["float32", "bfloat16"])
@@ -108,6 +113,7 @@ def main(argv=None) -> int:
         golden=args.golden, seed=args.seed,
         residual_dtype=args.residual_dtype, data_dir=args.data_dir,
         fused_outer_iters=args.fused_iters,
+        phase_timing=args.phase_timing,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_file=args.metrics_file,

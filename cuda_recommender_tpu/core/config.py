@@ -72,6 +72,14 @@ class Config:
     #: fusing amortizes it. Per-iteration RMSE is still computed (on device)
     #: and reported — only live per-iteration wall-timing coarsens.
     fused_outer_iters: int = 1
+    #: Phase-split telemetry mode (CCD dense/ell, single device): dispatch
+    #: each rank's add-back / sweeps / subtract as separate fenced device
+    #: calls so the iteration line's rank_time/update_time split carries real
+    #: measurements (the reference's per-phase timers, src/CCD.cpp:76-139).
+    #: Slower than the fused default — the point is attribution, not speed.
+    #: With ``verbose`` it also prints per-rank residual RMSE (the
+    #: reference's commented calrmse_r1 path, src/CCD.cpp:141-148).
+    phase_timing: bool = False
     ell_min_width: int = 8                 # narrowest ELL bucket width (pow2)
     #: ALS bucket floor. Sub-128-lane buckets leave VPU/MXU lanes idle in the
     #: gram einsums; measured at ml20M k=40: width 128 is ~12% faster than 8

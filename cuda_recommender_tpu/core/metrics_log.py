@@ -56,6 +56,19 @@ class MetricsLog:
                    rmse=rmse, rank_time=rank_time, update_time=update_time,
                    **({} if rmse_time is None else {"rmse_time": rmse_time}))
 
+    def rank(self, solver: str, backend: str, oiter: int, t: int,
+             rank_time: float, rmse=None) -> None:
+        """Per-rank verbose line (the reference's commented verbose path,
+        src/CCD.cpp:141-148: ``iter %d rank %d time %f[ rmse %f]``)."""
+        if self.echo:
+            line = "iter %d rank %d time %f" % (oiter, t + 1, rank_time)
+            if rmse is not None:
+                line += " rmse %f" % rmse
+            print(line, flush=True)
+        self.event("rank", solver=solver, backend=backend, oiter=oiter,
+                   rank=t, rank_time=rank_time,
+                   **({} if rmse is None else {"rmse": rmse}))
+
     def close(self) -> None:
         if self._fp:
             self._fp.close()

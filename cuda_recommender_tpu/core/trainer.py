@@ -70,6 +70,18 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         return W, H, stats
 
     kw: dict = dict(callback=cb)
+    if cfg.phase_timing and cfg.solver == Solver.CCD:
+        if mesh is not None:
+            raise NotImplementedError(
+                "phase_timing is single-device (per-phase fences)")
+        if backend in (Backend.HYBRID, Backend.PALLAS):
+            raise NotImplementedError(
+                f"phase_timing is not implemented for the {backend.value} "
+                "backend; use dense or ell")
+        if cfg.verbose:
+            kw["rank_callback"] = (
+                lambda oiter, t, dt, rmse: log.rank(
+                    cfg.solver.value, backend.value, oiter, t, dt, rmse))
     if ckpt is not None:
         meta = checkpoint_meta(cfg, backend, mesh)
         kw.update(ckpt_every=cfg.checkpoint_every,

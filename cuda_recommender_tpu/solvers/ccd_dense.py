@@ -109,6 +109,45 @@ def make_outer_step(lam: float, maxinneriter: int,
 
 
 
+def make_dense_phase_fns(lam: float, maxinneriter: int,
+                         residual_dtype=jnp.float32):
+    """Phase-split step functions for the phase-timing mode (phase_loop.py):
+    the reference's plain schedule (add-back / sweeps / subtract as separate
+    dispatches, src/CCD.cpp:74-139) — identical math to make_outer_step's
+    fused deferred-subtract schedule, but with fence-able phase boundaries.
+    Rank index ``t`` is a traced argument: one compiled program per phase."""
+    lam_ = jnp.float32(lam)
+
+    def _outer_pass(state, mask, t, sign):
+        u = jax.lax.dynamic_slice_in_dim(state.W, t, 1, 0)[0]
+        v = jax.lax.dynamic_slice_in_dim(state.H, t, 1, 0)[0]
+        delta = sign * jnp.outer(u, v)
+        Rhat = state.Rhat + (delta * mask.astype(delta.dtype)).astype(
+            state.Rhat.dtype)
+        return dataclasses.replace(state, Rhat=Rhat)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def addback(state, mask, t):
+        return _outer_pass(state, mask, t, jnp.float32(1.0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def subtract(state, mask, t):
+        return _outer_pass(state, mask, t, jnp.float32(-1.0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def sweeps(state, mask, row_nnz, col_nnz, t):
+        u = jax.lax.dynamic_slice_in_dim(state.W, t, 1, 0)[0]
+        v = jax.lax.dynamic_slice_in_dim(state.H, t, 1, 0)[0]
+        for _ in range(maxinneriter):          # src/CCD.cpp:107-123
+            v = _half_sweep(u, state.Rhat, mask, lam_, col_nnz)
+            u = _half_sweep(v, state.Rhat.T, mask.T, lam_, row_nnz)
+        W = jax.lax.dynamic_update_slice_in_dim(state.W, u[None], t, 0)
+        H = jax.lax.dynamic_update_slice_in_dim(state.H, v[None], t, 0)
+        return dataclasses.replace(state, W=W, H=H)
+
+    return addback, sweeps, subtract
+
+
 def build_dense_inputs(R: RatingMatrix, dtype=np.float32):
     """Host-side densification: residual init = ratings at observed coords,
     mask = observed pattern (NOT value != 0 — explicit zero ratings stay
@@ -126,6 +165,7 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                     callback: Optional[Callable[[IterStats], None]] = None,
                     shardings: Optional[dict] = None,
                     ckpt_every: int = 0, ckpt_fn=None, resume=None,
+                    rank_callback=None,
                     ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Train CCD++ with the dense backend. Returns (W, H, per-iter stats) in
     the reference's rank-major layout. ``shardings`` optionally maps layout
@@ -185,16 +225,11 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = put(np.asarray(T.col_idx), "rep")
     tv = put(np.asarray(T.val), "rep")
 
-    step_fn = make_outer_step(cfg.lambda_, cfg.maxinneriter,
-                              residual_dtype=rdt)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
     box = {"state": state}
-
-    def do_step():
-        box["state"] = step_fn(box["state"], mask, row_nnz_d, col_nnz_d)
 
     def do_rmse():
         s = box["state"]
@@ -206,6 +241,51 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                 "Rhat": np.asarray(s.Rhat),
                 "u_pend": np.asarray(s.u_pend),
                 "v_pend": np.asarray(s.v_pend)}
+
+    if cfg.phase_timing:
+        # phase-split telemetry mode (real rank_time/update_time split):
+        # separate fenced dispatches per rank phase, phase_loop.py. Note the
+        # resume payloads are interchangeable with the fused path because a
+        # fresh resume starts with zero pends and phase mode never sets them.
+        if resume is not None and (np.asarray(resume["u_pend"]).any()
+                                   or np.asarray(resume["v_pend"]).any()):
+            raise ValueError("cannot resume a fused-schedule checkpoint "
+                             "(pending outer product) in phase-timing mode")
+        ab, sw, sub = make_dense_phase_fns(cfg.lambda_, cfg.maxinneriter,
+                                           residual_dtype=rdt)
+
+        def _ab(t):
+            box["state"] = ab(box["state"], mask, t)
+            return box["state"].Rhat
+
+        def _sw(t):
+            box["state"] = sw(box["state"], mask, row_nnz_d, col_nnz_d, t)
+            return box["state"].W
+
+        def _sub(t):
+            box["state"] = sub(box["state"], mask, t)
+            return box["state"].Rhat
+
+        def get_rank_rows(t):
+            s = box["state"]
+            return np.asarray(s.W[t]), np.asarray(s.H[t])
+
+        from .phase_loop import phased_ccd_loop
+        stats = phased_ccd_loop(
+            start_oiter=start_oiter, maxiter=cfg.maxiter, k=W0.shape[0],
+            addback=_ab, sweeps=_sw, subtract=_sub, do_rmse=do_rmse,
+            get_rank_rows=get_rank_rows, ti=np.asarray(T.row_idx),
+            tj=np.asarray(T.col_idx), tv=np.asarray(T.val),
+            callback=callback, rank_callback=rank_callback,
+            ckpt_every=ckpt_every, ckpt_fn=ckpt_fn, get_payload=get_payload)
+        state = box["state"]
+        return np.asarray(state.W)[:, :m], np.asarray(state.H)[:, :n], stats
+
+    step_fn = make_outer_step(cfg.lambda_, cfg.maxinneriter,
+                              residual_dtype=rdt)
+
+    def do_step():
+        box["state"] = step_fn(box["state"], mask, row_nnz_d, col_nnz_d)
 
     stats = pipelined_loop(
         start_oiter=start_oiter, maxiter=cfg.maxiter,

@@ -107,6 +107,46 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
     return jax.jit(step, donate_argnums=(2, 3, 4, 5, 8, 9))
 
 
+def make_ell_phase_fns(ell: EllPair, lam: float, maxinneriter: int):
+    """Phase-split step functions for the phase-timing mode (phase_loop.py):
+    plain reference schedule (add-back / sweeps / immediate subtract,
+    src/CCD.cpp:74-139) with separate fence-able dispatches per phase — same
+    math as make_ell_outer_step's gather-fused schedule, without the pend
+    state. Rank ``t`` is traced: one compiled program per phase."""
+    rows, cols = ell.rows_side, ell.cols_side
+    lam_ = jnp.float32(lam)
+
+    def _both_sides(idx_r, idx_c, vals_r, vals_c, W, H, t, sign):
+        u = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
+        v = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
+        vals_c = residual_update(idx_c, vals_c, cols, extend_zero(u), v, sign)
+        vals_r = residual_update(idx_r, vals_r, rows, extend_zero(v), u, sign)
+        return vals_r, vals_c
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def addback(idx_r, idx_c, vals_r, vals_c, W, H, t):
+        return _both_sides(idx_r, idx_c, vals_r, vals_c, W, H, t, 1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def subtract(idx_r, idx_c, vals_r, vals_c, W, H, t):
+        return _both_sides(idx_r, idx_c, vals_r, vals_c, W, H, t, -1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(4, 5))
+    def sweeps(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c, t):
+        u = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
+        v = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
+        for _ in range(maxinneriter):          # src/CCD.cpp:107-123
+            v, _ = sweep_new_values(idx_c, vals_c, cols, extend_zero(u),
+                                    lam_, rnnz_c)
+            u, _ = sweep_new_values(idx_r, vals_r, rows, extend_zero(v),
+                                    lam_, rnnz_r)
+        W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
+        H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
+        return W, H
+
+    return addback, sweeps, subtract
+
+
 def factors_to_slots(F: np.ndarray, side) -> np.ndarray:
     """(k, n_entities) entity order -> (k, n_slots) slot space."""
     out = np.zeros((F.shape[0], side.n_slots), dtype=np.float32)
@@ -119,6 +159,7 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                   callback: Optional[Callable[[IterStats], None]] = None,
                   ell: Optional[EllPair] = None,
                   ckpt_every: int = 0, ckpt_fn=None, resume=None,
+                  rank_callback=None,
                   ) -> tuple[np.ndarray, np.ndarray, list[IterStats]]:
     """Train CCD++ on the ELL backend (single device). Returns (W, H, stats)
     in the reference's rank-major entity order. Checkpoint payloads carry the
@@ -155,21 +196,11 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jnp.asarray(cols.slot_of_entity[T.col_idx])
     tv = jnp.asarray(T.val)
 
-    step_fn = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
 
     box = {"s": (vals_r, vals_c, W, H, u_pend, v_pend)}
-
-    def do_step():
-        vals_r, vals_c, W, H, u_pend, v_pend = box["s"]
-        box["s"] = step_fn(idx_r, idx_c, vals_r, vals_c, W, H,
-                           rnnz_r, rnnz_c, u_pend, v_pend)
-
-    def do_rmse():
-        _, _, W, H, _, _ = box["s"]
-        return rmse_fn(ti, tj, tv, W, H)
 
     def get_payload():
         vals_r, vals_c, W, H, u_pend, v_pend = box["s"]
@@ -181,6 +212,65 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         for i, v_ in enumerate(vals_c):
             payload[f"vals_c_{i}"] = np.asarray(v_)
         return payload
+
+    if cfg.phase_timing:
+        if resume is not None and (np.asarray(resume["u_pend"]).any()
+                                   or np.asarray(resume["v_pend"]).any()):
+            raise ValueError("cannot resume a fused-schedule checkpoint "
+                             "(pending outer product) in phase-timing mode")
+        ab, sw, sub = make_ell_phase_fns(ell, cfg.lambda_, cfg.maxinneriter)
+
+        def _ab(t):
+            vals_r, vals_c, W, H, up, vp = box["s"]
+            vals_r, vals_c = ab(idx_r, idx_c, vals_r, vals_c, W, H, t)
+            box["s"] = (vals_r, vals_c, W, H, up, vp)
+            return vals_r
+
+        def _sw(t):
+            vals_r, vals_c, W, H, up, vp = box["s"]
+            W, H = sw(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c, t)
+            box["s"] = (vals_r, vals_c, W, H, up, vp)
+            return W
+
+        def _sub(t):
+            vals_r, vals_c, W, H, up, vp = box["s"]
+            vals_r, vals_c = sub(idx_r, idx_c, vals_r, vals_c, W, H, t)
+            box["s"] = (vals_r, vals_c, W, H, up, vp)
+            return vals_r
+
+        def get_rank_rows(t):
+            _, _, W, H, _, _ = box["s"]
+            return np.asarray(W[t]), np.asarray(H[t])
+
+        def do_rmse_p():
+            _, _, W, H, _, _ = box["s"]
+            return rmse_fn(ti, tj, tv, W, H)
+
+        from .phase_loop import phased_ccd_loop
+        stats = phased_ccd_loop(
+            start_oiter=start_oiter, maxiter=cfg.maxiter, k=W0.shape[0],
+            addback=_ab, sweeps=_sw, subtract=_sub, do_rmse=do_rmse_p,
+            get_rank_rows=get_rank_rows,
+            ti=rows.slot_of_entity[T.row_idx],
+            tj=cols.slot_of_entity[T.col_idx], tv=np.asarray(T.val),
+            callback=callback, rank_callback=rank_callback,
+            ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
+            get_payload=get_payload)
+        _, _, W, H, _, _ = box["s"]
+        W_ent = np.asarray(W)[:, rows.slot_of_entity]
+        H_ent = np.asarray(H)[:, cols.slot_of_entity]
+        return W_ent, H_ent, stats
+
+    step_fn = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter)
+
+    def do_step():
+        vals_r, vals_c, W, H, u_pend, v_pend = box["s"]
+        box["s"] = step_fn(idx_r, idx_c, vals_r, vals_c, W, H,
+                           rnnz_r, rnnz_c, u_pend, v_pend)
+
+    def do_rmse():
+        _, _, W, H, _, _ = box["s"]
+        return rmse_fn(ti, tj, tv, W, H)
 
     stats = pipelined_loop(
         start_oiter=start_oiter, maxiter=cfg.maxiter,
