@@ -98,11 +98,15 @@ class Config:
     ell_chunk: int = 512                   # ALS gram scan chunk along the width axis
     eval_chunk: int = 1 << 20              # test-RMSE gather chunk
     dense_max_cells: int = 2_000_000_000   # AUTO picks DENSE below this m*n
-    #: Hybrid backend: cell budget for the dense sub-block (top-degree users
-    #: x all items). D = min(m, budget // n). Default 2e9 cells ≈ 8 GB at
-    #: bf16 residual + bf16 mask — sized for one 16 GB v5e with ELL buffers,
-    #: factors and the test set resident.
+    #: Hybrid backend: TOTAL cell budget for the dense panel stair (top
+    #: users x all items, next users x top-w items, ...). Default 2e9 cells
+    #: ≈ 8 GB at bf16 residual + bf16 mask — sized for one 16 GB v5e with
+    #: ELL buffers, factors and the test set resident.
     hybrid_dense_cells: int = 2_000_000_000
+    #: Widths (top-item counts) of the secondary dense panels; the first
+    #: panel always spans all items. The planner grid-searches the user
+    #: boundaries per width to maximize covered nnz under the cell budget.
+    hybrid_panel_widths: tuple = (2048, 256)
 
     # --- io ---
     data_dir: Optional[str] = None         # positional data_dir (reference CLI)
@@ -135,6 +139,10 @@ class Config:
         if self.residual_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"residual_dtype must be 'float32' or "
                              f"'bfloat16', got {self.residual_dtype!r}")
+        self.hybrid_panel_widths = tuple(int(w)
+                                         for w in self.hybrid_panel_widths)
+        if any(w <= 0 for w in self.hybrid_panel_widths):
+            raise ValueError("hybrid_panel_widths must be positive")
 
     def resolve_backend(self, m: int, n: int, *,
                         sharded: bool = False) -> Backend:

@@ -269,15 +269,38 @@ def _fill_side(side: EllSide, fill_grids, ptr, nbr_idx, nbr_val,
 
 
 def build_ell_pair(R: RatingMatrix, *, min_width: int = 8,
-                   num_shards: int = 1) -> EllPair:
-    """Build both orientations with mutual slot indexing."""
+                   num_shards: int = 1,
+                   index_space: str = "slot") -> EllPair:
+    """Build both orientations.
+
+    ``index_space`` selects what the bucket ``idx`` arrays reference:
+      * ``"slot"`` (default): the other side's slot ids — gathers read
+        slot-space factor tables directly (the pure-ELL solvers' layout).
+      * ``"entity"``: the other side's raw entity ids (zero sentinel =
+        n_entities) — gathers read entity-order vectors directly. Used by the
+        panel-hybrid backend, which keeps factors in (degree-sorted) entity
+        order so dense-panel slices stay contiguous.
+    """
     rows_side, rows_grids = _build_side(R.csr_ptr, R.rows,
                                         min_width=min_width, num_shards=num_shards)
     cols_side, cols_grids = _build_side(R.csc_ptr, R.cols,
                                         min_width=min_width, num_shards=num_shards)
-    rows_side = _fill_side(rows_side, rows_grids, R.csr_ptr, R.csr_idx, R.csr_val,
-                           cols_side.slot_of_entity, cols_side.n_slots)
-    cols_side = _fill_side(cols_side, cols_grids, R.csc_ptr, R.csc_idx, R.csc_val,
-                           rows_side.slot_of_entity, rows_side.n_slots)
+    if index_space == "entity":
+        rmap = np.arange(R.cols, dtype=np.int32)
+        cmap = np.arange(R.rows, dtype=np.int32)
+        rows_side = _fill_side(rows_side, rows_grids, R.csr_ptr, R.csr_idx,
+                               R.csr_val, rmap, R.cols)
+        cols_side = _fill_side(cols_side, cols_grids, R.csc_ptr, R.csc_idx,
+                               R.csc_val, cmap, R.rows)
+    elif index_space == "slot":
+        rows_side = _fill_side(rows_side, rows_grids, R.csr_ptr, R.csr_idx,
+                               R.csr_val, cols_side.slot_of_entity,
+                               cols_side.n_slots)
+        cols_side = _fill_side(cols_side, cols_grids, R.csc_ptr, R.csc_idx,
+                               R.csc_val, rows_side.slot_of_entity,
+                               rows_side.n_slots)
+    else:
+        raise ValueError(f"index_space must be 'slot' or 'entity', "
+                         f"got {index_space!r}")
     return EllPair(rows_side=rows_side, cols_side=cols_side,
                    n_rows=R.rows, n_cols=R.cols, nnz=R.nnz)

@@ -1,7 +1,8 @@
-"""Hybrid dense+ELL CCD++ backend: golden parity across split points,
-degenerate splits (all-dense / all-ELL), inner iterations, empty entities,
-checkpoint/resume — the same discipline as the other compiled backends
-(reference dual-backend validation, /root/reference/src/main.cpp:109-144)."""
+"""Panel-hybrid CCD++ backend: golden parity across panel budgets,
+degenerate configurations (all-dense / pure-ELL), inner iterations, empty
+entities, checkpoint/resume — the same discipline as the other compiled
+backends (reference dual-backend validation,
+/root/reference/src/main.cpp:109-144)."""
 
 import numpy as np
 import pytest
@@ -32,31 +33,47 @@ def _assert_matches(W, H, stats, Wr, Hr, stats_r, tol=1e-3):
         assert abs(a.rmse - b.rmse) < tol
 
 
-@pytest.mark.parametrize("dense_cells", [
-    100 * 120,        # mid split: top-100 users dense, 200 in ELL
-    300 * 120,        # degenerate: every user dense (no light part)
-    0,                # degenerate: no dense part (pure ELL)
+@pytest.mark.parametrize("dense_cells,widths", [
+    (100 * 120, (32, 16)),    # multi-panel stair + ELL tail
+    (300 * 120, (32,)),       # budget covers everything: all-dense
+    (0, ()),                  # no panels: pure ELL
+    (40 * 120, ()),           # single full-width panel + ELL tail
 ])
-def test_hybrid_golden_across_splits(small_data, ccd_golden, dense_cells):
+def test_hybrid_golden_across_budgets(small_data, ccd_golden, dense_cells,
+                                      widths):
     R, T = small_data
     W0, H0, Wr, Hr, stats_r = ccd_golden
     cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
-                 backend="hybrid", hybrid_dense_cells=dense_cells)
+                 backend="hybrid", hybrid_dense_cells=dense_cells,
+                 hybrid_panel_widths=widths)
     W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
     _assert_matches(W, H, stats, Wr, Hr, stats_r)
 
 
-def test_hybrid_plan_split(small_data):
-    """The dense set must be the top-degree users and cover the cell budget;
-    every user lands in exactly one part."""
+def test_hybrid_plan_panels(small_data):
+    """Panels form a contiguous stair over degree-sorted users with
+    decreasing widths, respect the cell budget, and every rating lands in
+    exactly one panel or the ELL remainder."""
     R, _ = small_data
-    cfg = Config(backend="hybrid", hybrid_dense_cells=50 * R.cols)
+    cfg = Config(backend="hybrid", hybrid_dense_cells=60 * R.cols,
+                 hybrid_panel_widths=(32, 16))
     plan = plan_hybrid(R, cfg)
-    assert plan.D_real == 50 and plan.D % 8 == 0
+    assert plan.panels, "budget admits at least one panel"
+    prev_r, prev_w = 0, R.cols + 1
+    cells = 0
+    for r0, r1, w in plan.panels:
+        assert r0 == prev_r and r1 > r0 and w < prev_w
+        prev_r, prev_w = r1, w
+        cells += (r1 - r0) * w
+    assert cells <= 60 * R.cols
+    covered = sum(int(Mp.sum()) for Mp in plan.Md)
+    assert covered + plan.nnz_light == R.nnz
+    # degree sort: panel-1 users are the top-degree users
     deg = R.row_nnz
-    assert deg[plan.dense_ids].min() >= deg[plan.light_ids].max()
-    both = np.concatenate([plan.dense_ids, plan.light_ids])
-    assert np.array_equal(np.sort(both), np.arange(R.rows))
+    r1 = plan.panels[0][1]
+    top = plan.user_order[:r1]
+    rest = plan.user_order[r1:]
+    assert deg[top].min() >= deg[rest].max()
 
 
 def test_hybrid_matches_dense_inner2(tiny_data):
@@ -64,7 +81,8 @@ def test_hybrid_matches_dense_inner2(tiny_data):
     W0, H0 = init_factors_np(4, R.rows, R.cols, seed=1)
     cfg_d = Config(k=4, maxiter=2, maxinneriter=2, lambda_=0.05)
     cfg_h = Config(k=4, maxiter=2, maxinneriter=2, lambda_=0.05,
-                   backend="hybrid", hybrid_dense_cells=20 * R.cols)
+                   backend="hybrid", hybrid_dense_cells=20 * R.cols,
+                   hybrid_panel_widths=(8,))
     Wd, Hd, _ = ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg_d)
     Wh, Hh, _ = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg_h)
     np.testing.assert_allclose(Wd, Wh, atol=1e-4)
@@ -79,7 +97,7 @@ def test_hybrid_empty_entities_zero_lambda():
     T = make_test(6, 5, [0], [0], [4.0])
     W0, H0 = init_factors_np(3, 6, 5, seed=0)
     cfg = Config(k=3, maxiter=2, lambda_=0.0, backend="hybrid",
-                 hybrid_dense_cells=2 * 5)       # 2 dense users, 4 light
+                 hybrid_dense_cells=2 * 5, hybrid_panel_widths=())
     W, H, _ = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
     assert np.all(W[:, [2, 4, 5]] == 0)
     assert np.all(H[:, [3, 4]] == 0)
@@ -90,7 +108,7 @@ def test_hybrid_fused_iters_equivalent(small_data):
     R, T = small_data
     W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
     base = dict(k=K, maxiter=4, lambda_=0.1, backend="hybrid",
-                hybrid_dense_cells=100 * R.cols)
+                hybrid_dense_cells=100 * R.cols, hybrid_panel_widths=(32,))
     W1, H1, s1 = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
                                   Config(**base))
     W3, H3, s3 = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
@@ -113,14 +131,27 @@ def test_hybrid_bf16_residual(small_data, ccd_golden):
         assert abs(a.rmse - b.rmse) < 0.02
 
 
+def test_hybrid_coo_plan_matches_materialized(small_data):
+    """materialize_dense=False exposes per-panel COO that scatters to the
+    same dense blocks (the device-side densify path for huge matrices)."""
+    R, _ = small_data
+    cfg = Config(backend="hybrid", hybrid_dense_cells=80 * R.cols,
+                 hybrid_panel_widths=(32,))
+    pm = plan_hybrid(R, cfg, materialize_dense=True)
+    pc = plan_hybrid(R, cfg, materialize_dense=False)
+    assert pc.panel_coo is not None and len(pc.panel_coo) == len(pm.Rd)
+    for (lr, lc, lv), A, (r0, r1, w) in zip(pc.panel_coo, pm.Rd, pm.panels):
+        B = np.zeros((r1 - r0, w), np.float32)
+        B[lr, lc] = lv
+        np.testing.assert_array_equal(A, B)
+
+
 def test_hybrid_trainer_resume(small_data, tmp_path):
-    """Straight 4-iter run == 2 iters -> resume -> 2 more through the
-    trainer (dense residual, ELL residual buckets and pend state all
-    roundtrip)."""
     from cuda_recommender_tpu.core.trainer import train
     R, T = small_data
     base = dict(k=4, lambda_=0.1, backend="hybrid",
-                hybrid_dense_cells=100 * R.cols)
+                hybrid_dense_cells=100 * R.cols,
+                hybrid_panel_widths=(32,))
     full = train(Config(maxiter=4, **base), R, T)
     ck = str(tmp_path / "ck")
     train(Config(maxiter=2, checkpoint_dir=ck, checkpoint_every=1, **base),
