@@ -71,6 +71,57 @@ def synthetic(m: int, n: int, nnz: int, *, k_true: int = 8, noise: float = 0.1,
     return R, T
 
 
+def ml1m_like(seed: int = 0, *, test_fraction: float = 0.1
+              ) -> tuple[RatingMatrix, TestCOO]:
+    """Deterministic MovieLens-1M-calibrated fixture (the environment has no
+    network access to fetch the real dump — VERDICT round-1 #7).
+
+    Matches ml-1m's published marginals: 6040 users x 3706 rated movies,
+    ~1.0M ratings, integer ratings 1..5 with mean ≈ 3.58, doubly power-law
+    degree distributions. Ratings follow a user-bias + item-bias + low-rank
+    + noise model rounded to the 1..5 grid, so MF test RMSE converges into
+    the ~0.85-0.95 band real ml-1m runs produce (the noise floor is the
+    irreducible eps + rounding variance) instead of the synthetic()
+    fixture's ~0.2-0.4.
+    """
+    m, n, target = 6040, 3706, 1_000_209
+    rng = np.random.default_rng(seed)
+
+    cu = np.cumsum(1.0 / np.arange(1, m + 1) ** 0.75)
+    ci = np.cumsum(1.0 / np.arange(1, n + 1) ** 0.95)
+    cu /= cu[-1]
+    ci /= ci[-1]
+
+    keys = np.empty(0, np.int64)
+    for _ in range(8):
+        need = target - keys.shape[0]
+        if need <= 0:
+            break
+        du = np.searchsorted(cu, rng.random(int(need * 1.8) + 16))
+        di = np.searchsorted(ci, rng.random(int(need * 1.8) + 16))
+        keys = np.unique(np.concatenate([keys, du * n + di]))
+    keys = keys[rng.permutation(keys.shape[0])][:target]
+    ui, ii = (keys // n).astype(np.int64), (keys % n).astype(np.int64)
+    total = ui.shape[0]
+
+    k_true = 12
+    mu = 3.58
+    bu = rng.normal(0.0, 0.45, size=m)
+    bi = rng.normal(0.0, 0.50, size=n)
+    U = rng.normal(0, np.sqrt(0.45 / k_true), size=(m, k_true))
+    V = rng.normal(0, np.sqrt(0.45 / k_true), size=(n, k_true))
+    raw = (mu + bu[ui] + bi[ii] + np.einsum("ek,ek->e", U[ui], V[ii])
+           + rng.normal(0, 0.65, size=total))
+    vals = np.clip(np.rint(raw), 1.0, 5.0).astype(np.float32)
+
+    perm = rng.permutation(total)
+    n_test = int(total * test_fraction)
+    te, tr = perm[:n_test], perm[n_test:]
+    R = from_coo(m, n, ui[tr], ii[tr], vals[tr])
+    T = make_test(m, n, ui[te], ii[te], vals[te])
+    return R, T
+
+
 def parse_synthetic_spec(spec: str) -> dict:
     """Parse 'synthetic:m=1000,n=200,nnz=20000,seed=0' CLI dataset specs."""
     out: dict = {}

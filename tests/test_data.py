@@ -111,3 +111,48 @@ def test_spread_collect(small_data):
     x = np.arange(side.n_entities, dtype=np.float32)
     xs = side.spread(x)
     np.testing.assert_array_equal(side.collect(xs), x)
+
+
+def test_ml1m_like_marginals():
+    """Deterministic ml-1m-calibrated fixture: exact dims, integer ratings
+    1..5 with ml-like mean, power-law degrees, bit-stable across calls."""
+    import numpy as np
+    from cuda_recommender_tpu.data.datasets import ml1m_like
+    R, T = ml1m_like(seed=0)
+    assert (R.rows, R.cols) == (6040, 3706)
+    assert 0.99e6 <= R.nnz + T.nnz <= 1.01e6
+    v = np.concatenate([R.csr_val, T.val])
+    assert set(np.unique(v)) <= {1.0, 2.0, 3.0, 4.0, 5.0}
+    assert 3.4 < v.mean() < 3.7
+    # heavy degree skew like the real dataset
+    d = np.sort(R.row_nnz)[::-1]
+    assert d[:604].sum() > 0.3 * R.nnz          # top-10% users
+    R2, T2 = ml1m_like(seed=0)
+    np.testing.assert_array_equal(R.csr_val, R2.csr_val)
+    np.testing.assert_array_equal(T.val, T2.val)
+
+
+def test_ell_entity_index_space(small_data):
+    """entity-indexed buckets reference raw entity ids (zero sentinel at
+    n_entities) and reconstruct the matrix exactly: for every bucket slot,
+    scatter its (idx, val) lanes into a dense row for the slot's entity."""
+    import numpy as np
+    from cuda_recommender_tpu.data.ell import build_ell_pair
+    R, _ = small_data
+    pe = build_ell_pair(R, min_width=8, index_space="entity")
+    rows = pe.rows_side
+    assert rows.other_zero_slot == R.cols
+    dense = np.zeros((R.rows, R.cols + 1), np.float64)
+    for b, off in zip(rows.buckets, rows.bucket_offsets):
+        assert b.idx.max() <= R.cols              # sentinel == n_cols
+        for rrow in range(b.rows):
+            for j in range(b.p):
+                slot = off + rrow * b.p + j
+                ent = rows.entity_of_slot[slot]
+                if ent < 0:
+                    continue
+                lanes = slice(j * b.E, (j + 1) * b.E)
+                np.add.at(dense[ent], b.idx[rrow, lanes],
+                          b.val[rrow, lanes])
+    np.testing.assert_allclose(dense[:, :R.cols], R.to_dense(), atol=1e-5)
+    assert np.all(dense[:, R.cols] == 0)          # sentinel lanes carry 0
