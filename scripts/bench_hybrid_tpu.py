@@ -23,12 +23,18 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-if os.environ.get("CRTPU_BENCH_CPU"):         # tiny CPU dry-run of the flow
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+import jax
 
-import jax                                    # noqa: E402
+if os.environ.get("CRTPU_BENCH_CPU"):         # tiny CPU dry-run of the flow
+    jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: measured working through the axon tunnel
+# (115 s cold -> 0.8 s warm); makes re-runs and repeats cheap
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_crtpu_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import jax.numpy as jnp                       # noqa: E402
+import functools                              # noqa: E402
 
 from cuda_recommender_tpu.core.config import Config            # noqa: E402
 from cuda_recommender_tpu.core.init import init_factors_np     # noqa: E402
@@ -50,8 +56,18 @@ def main():
           f"budget={cells}", flush=True)
 
     t0 = time.perf_counter()
-    R, T = synthetic(m=m, n=n, nnz=nnz, seed=1, test_fraction=0.02)
-    print(f"synthetic gen: {time.perf_counter()-t0:.1f}s "
+    cache = f"/tmp/crtpu_synth_{m}_{n}_{nnz}_s1.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        from cuda_recommender_tpu.data.sparse import from_coo, make_test
+        R = from_coo(m, n, z["ri"], z["ci"], z["vv"])
+        T = make_test(m, n, z["ti"], z["tj"], z["tv"])
+    else:
+        R, T = synthetic(m=m, n=n, nnz=nnz, seed=1, test_fraction=0.02)
+        ri, ci, vv = R.to_coo()
+        np.savez(cache, ri=ri, ci=ci, vv=vv, ti=T.row_idx, tj=T.col_idx,
+                 tv=T.val)
+    print(f"synthetic gen/load: {time.perf_counter()-t0:.1f}s "
           f"(actual nnz={R.nnz})", flush=True)
 
     cfg = Config(k=k, lambda_=lam, backend="hybrid",
@@ -66,23 +82,24 @@ def main():
 
     rdt = jnp.bfloat16
 
-    @jax.jit
-    def densify(coos):
-        out = []
-        for (lr, lc, lv), (r0, r1, w) in zip(coos, plan.panels):
-            Rd = jnp.zeros((r1 - r0, w), rdt).at[lr, lc].set(lv.astype(rdt))
-            Md = jnp.zeros((r1 - r0, w), jnp.bfloat16).at[lr, lc].set(1.0)
-            out.append((Rd, Md))
-        return out
+    # one scatter program PER PANEL, sequential: a fused all-panel densify
+    # holds every output + its zeros-init simultaneously and OOMs at 2e9
+    # budget cells (8 GB of outputs alone)
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def densify_one(lr, lc, lv, rows_, w_):
+        Rd = jnp.zeros((rows_, w_), rdt).at[lr, lc].set(lv.astype(rdt))
+        Md = jnp.zeros((rows_, w_), jnp.bfloat16).at[lr, lc].set(1.0)
+        return Rd, Md
 
     t0 = time.perf_counter()
-    coos = tuple((jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(lv))
-                 for lr, lc, lv in plan.panel_coo)
-    dense = densify(coos)
-    Rds = tuple(d[0] for d in dense)
-    masks = tuple(d[1] for d in dense)
-    _ = np.asarray(Rds[0][:1]).sum()
-    del coos, dense
+    Rds, masks = [], []
+    for (lr, lc, lv), (r0, r1, w) in zip(plan.panel_coo, plan.panels):
+        Rd, Md = densify_one(jnp.asarray(lr), jnp.asarray(lc),
+                             jnp.asarray(lv), r1 - r0, w)
+        _ = np.asarray(Rd[:1]).sum()               # fence before next panel
+        Rds.append(Rd)
+        masks.append(Md)
+    Rds, masks = tuple(Rds), tuple(masks)
     print(f"densify(+COO ship): {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
