@@ -15,6 +15,7 @@ back across their lanes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..data.ell import EllBucket, EllSide
@@ -77,6 +78,40 @@ def sweep_new_values(idx_tiles, val_tiles, side: EllSide, other_ext: jnp.ndarray
         return jnp.zeros(side.n_slots, jnp.float32), gathers
     new_vals = jnp.concatenate(outs + ([jnp.zeros(tail, outs[0].dtype)] if tail else []))
     return jnp.where(slot_nnz > 0, new_vals, 0.0), gathers
+
+
+def paired_gather(pair_ext: jnp.ndarray, idx_tiles) -> list:
+    """Gather a 2-wide table (S+1, 2) at bucket index tiles in ROW-gather
+    mode with bounded padded temps.
+
+    Two measured TPU facts collide here (ARCHITECTURE.md): 1-wide gathers
+    from a flat (S,) table run in scalar mode (~7.7 ns/element) while 2-wide
+    gathers from an (S, 2) table run in row mode (~3.3 ns/ROW — both values
+    arrive for the price of one); but a materialized (rows, L, 2) gather
+    output pads its minor dim 2 -> 128 lanes, a ~31x HLO-temp expansion
+    (7.6 GB at Netflix dims). Chunking the rows under lax.map keeps exactly
+    one chunk's padded buffer live while every gather still issues in row
+    mode. Padding chunks index the table's last row — the appended zero row
+    (extend_zero), so they gather exact zeros.
+
+    Returns per-bucket (first, second) (rows, L) arrays.
+    """
+    zero_row = pair_ext.shape[0] - 1
+    out = []
+    for ix in idx_tiles:
+        rows, L = ix.shape
+        chunk = max(8, (1 << 19) // max(1, L))   # padded temp ~256 MB cap
+        pad = (-rows) % chunk
+        ixp = (jnp.concatenate(
+            [ix, jnp.full((pad, L), zero_row, ix.dtype)]) if pad else ix)
+
+        def body(ic):
+            g = pair_ext[ic]                     # (chunk, L, 2) bounded temp
+            return g[..., 0], g[..., 1]
+
+        a, b = jax.lax.map(body, ixp.reshape(-1, chunk, L))
+        out.append((a.reshape(-1, L)[:rows], b.reshape(-1, L)[:rows]))
+    return out
 
 
 def sweep_partials(idx_tiles, val_tiles, side: EllSide, other_ext,

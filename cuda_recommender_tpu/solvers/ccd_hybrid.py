@@ -14,13 +14,16 @@ stop gathering for the cells that carry the mass:
     top users x ALL items, panel 2 = next users x top-w2 items, ... — each a
     dense residual block + bf16 mask driven by the dense backend's
     deferred-subtract matvec schedule (solvers/ccd_dense.py), HBM/MXU-bound;
-  * the sparse remainder (typically <10% of nnz under a panel budget that
+  * the sparse remainder (typically 10-20% of nnz under a panel budget that
     fits HBM) keeps the degree-bucketed lane-packed ELL layout (data/ell.py)
-    with plain 1-wide gathers. (The 2-wide stacked-gather fusion the pure
-    ELL solver uses is deliberately NOT used here: its (rows, L, 2) gather
-    output pads the minor dim 2 -> 128 lanes on TPU, a measured ~31x HLO
-    temp expansion — 7.6 GB at Netflix dims — that evicts a panel's worth
-    of residual.)
+    with the 2-wide PAIRED row gathers of the pure ELL solver's schedule —
+    1-wide gathers from a flat table run in scalar mode (~7.7 ns/element,
+    measured 17.5 s/iter at Netflix dims) while (S, 2) pair gathers ride the
+    ~3.3 ns/ROW mode. The pair-gather output (rows, L, 2) would pad its
+    minor dim 2 -> 128 lanes (a measured ~31x HLO-temp expansion, 7.6 GB at
+    Netflix dims — more than a panel's worth of residual), so
+    ops/ell_ops.paired_gather chunks the rows under lax.map to keep exactly
+    one chunk's padded buffer live.
 
 Factors live in degree-sorted entity order — W (k, m), H (k, n) — so every
 panel touches a contiguous static slice and the ELL bucket ``idx`` arrays
@@ -62,7 +65,8 @@ from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO, from_coo
 from ..eval.metrics import calrmse_device, default_eval_chunk
-from ..ops.ell_ops import extend_zero, residual_update, sweep_partials
+from ..ops.ell_ops import (extend_zero, paired_gather, residual_update,
+                           sweep_partials)
 from .pipeline import pipelined_loop
 from .reference import IterStats
 
@@ -260,16 +264,29 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                     h = h.at[:w].add(hp)
                 if have_light:
                     if i == 0:
-                        # ONE gather of u_old serves add-back AND sweep
-                        Gc_old = [extend_zero(u)[ix] for ix in idx_c]
+                        # ONE paired row-gather [u_pend, u_old] serves the
+                        # deferred subtract of rank t-1, the add-back AND
+                        # the sweep (ccd_ell.py schedule; 1-wide gathers
+                        # measured SCALAR-mode at ~7.7 ns/elem — pairs ride
+                        # the ~3.3 ns/ROW mode, temp bounded by lax.map)
+                        pc = paired_gather(
+                            extend_zero(jnp.stack([u_pend, u_old], -1)),
+                            idx_c)
+                        vals_c = residual_update(
+                            idx_c, vals_c, cols, None, islots(v_pend), -1.0,
+                            gathered=[p[0] for p in pc])
                         vals_c = residual_update(
                             idx_c, vals_c, cols, None, islots(v_old), +1.0,
-                            gathered=Gc_old)
-                        g_l, h_l, _ = sweep_partials(idx_c, vals_c, cols,
-                                                     None, gathered=Gc_old)
+                            gathered=[p[1] for p in pc])
+                        g_l, h_l, _ = sweep_partials(
+                            idx_c, vals_c, cols, None,
+                            gathered=[p[1] for p in pc])
                     else:
-                        g_l, h_l, _ = sweep_partials(idx_c, vals_c, cols,
-                                                     extend_zero(u))
+                        pc = paired_gather(
+                            extend_zero(jnp.stack([u, u], -1)), idx_c)
+                        g_l, h_l, _ = sweep_partials(
+                            idx_c, vals_c, cols, None,
+                            gathered=[p[0] for p in pc])
                     g = g + g_l[slot_of_ipos]
                     h = h + h_l[slot_of_ipos]
                 # full-denominator guard (like ccd_dense._half_sweep):
@@ -291,28 +308,33 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                     hu = hu.at[r0:r1].add(hp)
                 if have_light:
                     if i == 0:
-                        # add-back with a fresh v_old gather, then sweep with
-                        # the v_new gather (reused by the subtract below)
-                        vals_r = residual_update(idx_r, vals_r, rows,
-                                                 extend_zero(v_old),
-                                                 uslots(u_old), +1.0)
-                    g_lr, h_lr, Gr_new = sweep_partials(idx_r, vals_r, rows,
-                                                        extend_zero(v))
+                        # ONE paired row-gather [v_old, v_new] serves the
+                        # add-back, the sweep, and (via reuse below) the
+                        # immediate rows-side subtract
+                        pr = paired_gather(
+                            extend_zero(jnp.stack([v_old, v], -1)), idx_r)
+                        vals_r = residual_update(
+                            idx_r, vals_r, rows, None, uslots(u_old), +1.0,
+                            gathered=[p[0] for p in pr])
+                    else:
+                        pr = paired_gather(
+                            extend_zero(jnp.stack([v, v], -1)), idx_r)
+                    Gr_new = [p[1] if i == 0 else p[0] for p in pr]
+                    g_lr, h_lr, _ = sweep_partials(idx_r, vals_r, rows,
+                                                   None, gathered=Gr_new)
                     gu = gu + g_lr[slot_of_upos]
                     hu = hu + h_lr[slot_of_upos]
                 den_u = lam_ * row_nnz + hu
                 u = jnp.where(den_u > 0, gu / den_u, 0.0)
 
-            # ---- write back (src/CCD.cpp:128-134); ELL subtract with the
-            # new factors (rows side reuses the sweep's v gather; cols side
-            # gathers u_new once); dense subtract deferred via pends ----
+            # ---- write back (src/CCD.cpp:128-134); rows-side subtract
+            # immediately (reuses the sweep's v gather); cols-side AND dense
+            # subtracts deferred via the SHARED (u_pend, v_pend) state ----
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
             if have_light:
                 vals_r = residual_update(idx_r, vals_r, rows, None,
                                          uslots(u), -1.0, gathered=Gr_new)
-                vals_c = residual_update(idx_c, vals_c, cols,
-                                         extend_zero(u), islots(v), -1.0)
             return (Rds, vals_r, vals_c, W, H, u, v)
 
         k = W.shape[0]
