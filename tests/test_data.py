@@ -156,3 +156,25 @@ def test_ell_entity_index_space(small_data):
                           b.val[rrow, lanes])
     np.testing.assert_allclose(dense[:, :R.cols], R.to_dense(), atol=1e-5)
     assert np.all(dense[:, R.cols] == 0)          # sentinel lanes carry 0
+
+
+def test_paired_gather_matches_direct_indexing():
+    """paired_gather (lax.map-chunked row gathers) must equal direct fancy
+    indexing, including the zero-sentinel row and non-chunk-multiple rows."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_recommender_tpu.ops.ell_ops import extend_zero, paired_gather
+    rng = np.random.default_rng(3)
+    S = 500
+    pair = rng.normal(size=(S, 2)).astype(np.float32)
+    pair_ext = extend_zero(jnp.asarray(pair))         # row S == zeros
+    idx_tiles = [
+        jnp.asarray(rng.integers(0, S + 1, size=(37, 128)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, S + 1, size=(4097, 64)).astype(np.int32)),
+    ]
+    out = paired_gather(pair_ext, idx_tiles)
+    ext = np.concatenate([pair, np.zeros((1, 2), np.float32)])
+    for (a, b), ix in zip(out, idx_tiles):
+        ixn = np.asarray(ix)
+        np.testing.assert_array_equal(np.asarray(a), ext[ixn][..., 0])
+        np.testing.assert_array_equal(np.asarray(b), ext[ixn][..., 1])
