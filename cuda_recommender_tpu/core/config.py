@@ -86,10 +86,12 @@ class Config:
     #: despite 12% more padding. CCD keeps ell_min_width (gather-bound, pays
     #: for padding directly).
     als_min_width: int = 128
-    #: ALS gram-assembly matmul precision. "highest" (true f32) is BOTH the
-    #: golden-grade and the measured-fastest option (ml20M k=40: 0.77 s/iter
-    #: vs 1.05 s for "default" — the bf16 path pays conversion passes on the
-    #: gathered tiles that outweigh its MXU rate, and drifts ~0.4%/solve).
+    #: ALS gram-assembly matmul precision. "highest" = true f32 (6-pass
+    #: bf16 emulation on the MXU) — the golden-grade default. "high" =
+    #: 3-pass bf16x3, measured ~26% faster end-to-end at ml20M k=40 with
+    #: near-f32 accuracy. "default" = single-pass bf16 — fastest MXU rate
+    #: but drifts ~0.4%/solve AND pays conversion passes on the gathered
+    #: tiles (measured slower end-to-end than highest; kept for experiments).
     als_precision: str = "highest"
     #: k×k solve implementation: "gj" (VMEM-blocked Pallas Gauss-Jordan —
     #: fastest), "gj_xla" (the same elimination as XLA ops; HBM-bound), or
@@ -133,9 +135,9 @@ class Config:
         if self.als_solver not in ("gj", "gj_xla", "lax"):
             raise ValueError(f"als_solver must be 'gj', 'gj_xla' or 'lax', "
                              f"got {self.als_solver!r}")
-        if self.als_precision not in ("highest", "default"):
-            raise ValueError(f"als_precision must be 'highest' or 'default', "
-                             f"got {self.als_precision!r}")
+        if self.als_precision not in ("highest", "high", "default"):
+            raise ValueError(f"als_precision must be 'highest', 'high' or "
+                             f"'default', got {self.als_precision!r}")
         if self.residual_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"residual_dtype must be 'float32' or "
                              f"'bfloat16', got {self.residual_dtype!r}")
@@ -148,8 +150,8 @@ class Config:
                         sharded: bool = False) -> Backend:
         """AUTO resolution: dense residual for CCD when it fits (the Pallas
         fused kernel on TPU, plain XLA elsewhere); for larger matrices the
-        hybrid dense+ELL path on a single device, ELL when sharded (the
-        hybrid split is single-chip for now).
+        panel-hybrid path (single-device or sharded — the sharded variant
+        row-splits every panel and the ELL tail across the mesh).
 
         ALS has exactly one compiled path (ELL): an explicit ``dense`` or
         ``pallas`` request normalizes to ELL here so that logs, metrics and
@@ -170,6 +172,6 @@ class Config:
             # because it can fuse across the whole rank body; PALLAS stays an
             # explicit opt-in backend.
             return Backend.DENSE
-        if not sharded and self.hybrid_dense_cells // max(1, n) > 0:
+        if self.hybrid_dense_cells // max(1, n) > 0:
             return Backend.HYBRID
         return Backend.ELL

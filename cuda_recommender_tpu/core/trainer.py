@@ -106,9 +106,8 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         return ccd_pallas_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.HYBRID:
         if mesh is not None:
-            raise NotImplementedError(
-                "the hybrid backend is single-chip; use backend=dense or ell "
-                "with --mesh (AUTO already resolves to ELL when sharded)")
+            from ..parallel.ccd_hybrid_sharded import ccd_hybrid_train_sharded
+            return ccd_hybrid_train_sharded(R, W0, H0, T, cfg, mesh, **kw)
         from ..solvers.ccd_hybrid import ccd_hybrid_train
         return ccd_hybrid_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.DENSE:

@@ -52,18 +52,23 @@ def _gj_kernel(A_ref, b_ref, x_ref, M_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_s"))
-def gj_solve_pallas(A, b, *, interpret: bool = False, block_s: int = BLOCK_S):
-    """Batched SPD solve: A (S, k, k), b (S, k) -> x (S, k). S is padded to
-    a block multiple with identity systems (x = 0 for the pad)."""
-    S, k = b.shape
+def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
+                       block_s: int = BLOCK_S):
+    """Batch-LAST batched SPD solve: A_t (k, k, S), b_t (k, S) -> x_t (k, S).
+
+    This is the native kernel layout (batch on lanes). Producing the gram in
+    this layout directly from the assembly einsum ("sek,sel->kls") removes
+    the (S, k, k) -> (k, k, S) relayout pass that otherwise streams ~1 GB
+    per ALS side through HBM before the solve even starts. S is padded to a
+    block multiple with identity systems (x = 0 for the pad)."""
+    k, _, S = A_t.shape
     pad = (-S) % block_s
     if pad:
-        eye = jnp.broadcast_to(jnp.eye(k, dtype=A.dtype), (pad, k, k))
-        A = jnp.concatenate([A, eye])
-        b = jnp.concatenate([b, jnp.zeros((pad, k), b.dtype)])
+        eye_t = jnp.broadcast_to(jnp.eye(k, dtype=A_t.dtype)[:, :, None],
+                                 (k, k, pad))
+        A_t = jnp.concatenate([A_t, eye_t], axis=2)
+        b_t = jnp.concatenate([b_t, jnp.zeros((k, pad), b_t.dtype)], axis=1)
     Sp = S + pad
-    A_t = jnp.transpose(A, (1, 2, 0)).astype(jnp.float32)          # (k, k, Sp)
-    b_t = jnp.transpose(b, (1, 0)).astype(jnp.float32)             # (k, Sp)
     x_t = pl.pallas_call(
         _gj_kernel,
         grid=(Sp // block_s,),
@@ -82,5 +87,14 @@ def gj_solve_pallas(A, b, *, interpret: bool = False, block_s: int = BLOCK_S):
             bytes_accessed=Sp * (k * k + 2 * k) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(A_t, b_t)
-    return jnp.transpose(x_t, (1, 0))[:S]
+    )(A_t.astype(jnp.float32), b_t.astype(jnp.float32))
+    return x_t[:, :S]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_s"))
+def gj_solve_pallas(A, b, *, interpret: bool = False, block_s: int = BLOCK_S):
+    """Batch-first convenience wrapper: A (S, k, k), b (S, k) -> x (S, k)."""
+    A_t = jnp.transpose(A, (1, 2, 0))
+    b_t = jnp.transpose(b, (1, 0))
+    x_t = gj_solve_pallas_bl(A_t, b_t, interpret=interpret, block_s=block_s)
+    return jnp.transpose(x_t, (1, 0))

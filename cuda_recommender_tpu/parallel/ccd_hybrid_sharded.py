@@ -1,0 +1,302 @@
+"""Panel-hybrid CCD++, sharded over a 1-D device mesh with shard_map.
+
+Decomposition (new design — the reference is single-GPU,
+/root/reference/cuda_src/CCD_CUDA.cu:170): every dense panel's rows are
+split into equal per-device blocks (the planner N-aligns panel boundaries),
+and the ELL remainder is built shard-uniform (data/ell.py num_shards=N), so
+all residual state — panel blocks and bucket value tiles — is device-local
+and never communicated. The factor tables W (k, m) / H (k, n) are
+REPLICATED (a rank's vectors are ~2 MB at Netflix scale — tiny next to the
+per-rank compute): each device computes partial per-entity sweep sums
+(g, h) from its panel blocks + its ELL rows, and ONE ``psum`` per half-sweep
+(a few MB over ICI) makes the new factor vector identical everywhere. This
+is the communication-minimal layout for a doubly-sharded residual: ratings
+never move, only (m,)/(n,)-sized partial vectors do.
+
+The per-device math is byte-identical to solvers/ccd_hybrid.py (same panel
+matvec schedule, same paired-gather ELL tail, same deferred pends), so
+sharded == single-device numerically (tests/test_hybrid_sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import Config
+from ..data.sparse import RatingMatrix, TestCOO
+from ..eval.metrics import calrmse_device, default_eval_chunk
+from ..ops.ell_ops import (extend_zero, paired_gather, residual_update,
+                           sweep_partials)
+from ..solvers.ccd_hybrid import HybridPlan, plan_hybrid
+from ..solvers.pipeline import pipelined_loop
+from ..solvers.reference import IterStats
+from .mesh import AXIS
+
+
+def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
+                             maxinneriter: int, residual_dtype=jnp.float32,
+                             axis: str = AXIS):
+    rows_g, cols_g = plan.ell.rows_side, plan.ell.cols_side
+    rows, cols = rows_g.local_view(), cols_g.local_view()
+    panels = plan.panels
+    N = mesh.devices.size
+    lam_ = jnp.float32(lam)
+    have_light = plan.nnz_light > 0
+    rdt = residual_dtype
+    m = plan.row_nnz.shape[0]
+    n = plan.col_nnz.shape[0]
+    f32 = jnp.float32
+
+    def step_local(idx_r, idx_c, Rds, masks, vals_r, vals_c, W, H,
+                   u_pend, v_pend, row_nnz, col_nnz,
+                   lsu, lsi, eosr, eosi):
+        d = jax.lax.axis_index(axis)
+        lsu_, lsi_ = lsu[0], lsi[0]
+
+        def uslots(x):         # (m,) replicated -> LOCAL rows-side slot vals
+            return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[eosr]
+
+        def islots(x):
+            return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[eosi]
+
+        def to_users(g_local):  # local slot partials -> (m,) partial
+            return jnp.concatenate([g_local, jnp.zeros(1, g_local.dtype)])[lsu_]
+
+        def to_items(g_local):
+            return jnp.concatenate([g_local, jnp.zeros(1, g_local.dtype)])[lsi_]
+
+        def panel_rows(x, r0, lr):
+            return jax.lax.dynamic_slice(x, (r0 + d * lr,), (lr,))
+
+        def rank_body(t, carry):
+            Rds, vals_r, vals_c, W, H, u_pend, v_pend = carry
+            u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
+            v_old = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
+
+            # dense panels: fused deferred-subtract + add-back on the LOCAL
+            # row block of each panel
+            new_Rds = []
+            for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                lr = (r1 - r0) // N
+                delta = (jnp.outer(panel_rows(u_old, r0, lr), v_old[:w])
+                         - jnp.outer(panel_rows(u_pend, r0, lr), v_pend[:w]))
+                new_Rds.append(
+                    Rd + (delta * mask.astype(delta.dtype)).astype(rdt))
+            Rds = tuple(new_Rds)
+
+            u, v = u_old, v_old
+            Gr_new = None
+            for i in range(maxinneriter):
+                # ---- v-sweep: local panel matvec + local ELL partials,
+                # ONE psum makes (g, h) global ----
+                g = jnp.zeros(n, f32)
+                h = jnp.zeros(n, f32)
+                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                    lr = (r1 - r0) // N
+                    ul = panel_rows(u, r0, lr)
+                    gp = jnp.einsum("m,mn->n", ul, Rd.astype(f32),
+                                    preferred_element_type=f32)
+                    hp = jnp.einsum("m,mn->n", ul * ul, mask.astype(f32),
+                                    preferred_element_type=f32)
+                    g = g.at[:w].add(gp)
+                    h = h.at[:w].add(hp)
+                if have_light:
+                    if i == 0:
+                        pc = paired_gather(
+                            extend_zero(jnp.stack([u_pend, u_old], -1)),
+                            idx_c)
+                        vals_c = residual_update(
+                            idx_c, vals_c, cols, None, islots(v_pend), -1.0,
+                            gathered=[p[0] for p in pc])
+                        vals_c = residual_update(
+                            idx_c, vals_c, cols, None, islots(v_old), +1.0,
+                            gathered=[p[1] for p in pc])
+                        g_l, h_l, _ = sweep_partials(
+                            idx_c, vals_c, cols, None,
+                            gathered=[p[1] for p in pc])
+                    else:
+                        pc = paired_gather(
+                            extend_zero(jnp.stack([u, u], -1)), idx_c)
+                        g_l, h_l, _ = sweep_partials(
+                            idx_c, vals_c, cols, None,
+                            gathered=[p[0] for p in pc])
+                    g = g + to_items(g_l)
+                    h = h + to_items(h_l)
+                g, h = jax.lax.psum((g, h), axis)
+                den = lam_ * col_nnz + h
+                v = jnp.where(den > 0, g / den, 0.0)
+
+                # ---- u-sweep ----
+                gu = jnp.zeros(m, f32)
+                hu = jnp.zeros(m, f32)
+                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                    lr = (r1 - r0) // N
+                    gp = jnp.einsum("mn,n->m", Rd.astype(f32), v[:w],
+                                    preferred_element_type=f32)
+                    hp = jnp.einsum("mn,n->m", mask.astype(f32),
+                                    v[:w] * v[:w], preferred_element_type=f32)
+                    off = r0 + d * lr
+                    gu = jax.lax.dynamic_update_slice(gu, gp, (off,))
+                    hu = jax.lax.dynamic_update_slice(hu, hp, (off,))
+                if have_light:
+                    if i == 0:
+                        pr = paired_gather(
+                            extend_zero(jnp.stack([v_old, v], -1)), idx_r)
+                        vals_r = residual_update(
+                            idx_r, vals_r, rows, None, uslots(u_old), +1.0,
+                            gathered=[p[0] for p in pr])
+                    else:
+                        pr = paired_gather(
+                            extend_zero(jnp.stack([v, v], -1)), idx_r)
+                    Gr_new = [p[1] if i == 0 else p[0] for p in pr]
+                    g_lr, h_lr, _ = sweep_partials(idx_r, vals_r, rows,
+                                                   None, gathered=Gr_new)
+                    gu = gu + to_users(g_lr)
+                    hu = hu + to_users(h_lr)
+                gu, hu = jax.lax.psum((gu, hu), axis)
+                den_u = lam_ * row_nnz + hu
+                u = jnp.where(den_u > 0, gu / den_u, 0.0)
+
+            W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
+            H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
+            if have_light:
+                vals_r = residual_update(idx_r, vals_r, rows, None,
+                                         uslots(u), -1.0, gathered=Gr_new)
+            return (Rds, vals_r, vals_c, W, H, u, v)
+
+        k = W.shape[0]
+        return jax.lax.fori_loop(
+            0, k, rank_body, (Rds, vals_r, vals_c, W, H, u_pend, v_pend))
+
+    nb_r, nb_c, npan = len(rows.buckets), len(cols.buckets), len(panels)
+    bspec = P(axis, None)
+    rep = P()
+    in_specs = (tuple([bspec] * nb_r), tuple([bspec] * nb_c),
+                tuple([bspec] * npan), tuple([bspec] * npan),
+                tuple([bspec] * nb_r), tuple([bspec] * nb_c),
+                rep, rep, rep, rep, rep, rep,
+                P(axis, None), P(axis, None), P(axis), P(axis))
+    out_specs = (tuple([bspec] * npan),
+                 tuple([bspec] * nb_r), tuple([bspec] * nb_c),
+                 rep, rep, rep, rep)
+    fn = jax.shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(fn, donate_argnums=(2, 4, 5, 6, 7, 8, 9))
+
+
+def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
+                             T: TestCOO, cfg: Config, mesh: Mesh, *,
+                             callback: Optional[Callable] = None,
+                             ckpt_every: int = 0, ckpt_fn=None, resume=None,
+                             ) -> tuple[np.ndarray, np.ndarray,
+                                        list[IterStats]]:
+    """Multi-device panel-hybrid CCD++. Factors/stats in the reference's
+    rank-major ORIGINAL entity order; numerically equivalent to the
+    single-device hybrid backend."""
+    N = mesh.devices.size
+    plan = plan_hybrid(R, cfg, num_shards=N)
+    rows_g, cols_g = plan.ell.rows_side, plan.ell.cols_side
+    rdt = jnp.dtype(cfg.residual_dtype)
+    k = W0.shape[0]
+    m, n = R.rows, R.cols
+
+    shard = NamedSharding(mesh, P(AXIS, None))
+    svec = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+
+    idx_r = tuple(jax.device_put(b.idx, shard) for b in rows_g.buckets)
+    idx_c = tuple(jax.device_put(b.idx, shard) for b in cols_g.buckets)
+    masks = tuple(jax.device_put(Mp.astype(jnp.bfloat16), shard)
+                  for Mp in plan.Md)
+
+    W0 = np.asarray(W0, np.float32)
+    start_oiter = 1
+    if resume is not None:
+        start_oiter = int(resume["oiter"]) + 1
+        Rds = tuple(jax.device_put(np.asarray(resume[f"Rd_{i}"]).astype(rdt),
+                                   shard) for i in range(len(plan.panels)))
+        W = jax.device_put(resume["W"], rep)
+        H = jax.device_put(resume["H"], rep)
+        u_pend = jax.device_put(resume["u_pend"], rep)
+        v_pend = jax.device_put(resume["v_pend"], rep)
+        vals_r = tuple(jax.device_put(resume[f"vals_r_{i}"], shard)
+                       for i in range(len(rows_g.buckets)))
+        vals_c = tuple(jax.device_put(resume[f"vals_c_{i}"], shard)
+                       for i in range(len(cols_g.buckets)))
+    else:
+        Rds = tuple(jax.device_put(Rp.astype(rdt), shard) for Rp in plan.Rd)
+        W = jax.device_put(W0[:, plan.user_order], rep)
+        H = jax.device_put(np.zeros((k, n), np.float32), rep)
+        u_pend = jax.device_put(np.zeros(m, np.float32), rep)
+        v_pend = jax.device_put(np.zeros(n, np.float32), rep)
+        vals_r = tuple(jax.device_put(b.val, shard) for b in rows_g.buckets)
+        vals_c = tuple(jax.device_put(b.val, shard) for b in cols_g.buckets)
+
+    row_nnz = jax.device_put(plan.row_nnz, rep)
+    col_nnz = jax.device_put(plan.col_nnz, rep)
+    eosr = jax.device_put(plan.upos_of_slot_safe, svec)
+    eosi = jax.device_put(plan.ipos_of_slot_safe, svec)
+
+    def local_map(slot_of_pos, slots_per_shard, n_ent):
+        # (N, n_ent): device row d holds "local slot of entity e if device d
+        # owns it, else the local sentinel (slots_per_shard)"
+        out = np.full((N, n_ent), slots_per_shard, np.int32)
+        owner = slot_of_pos // slots_per_shard
+        local = slot_of_pos % slots_per_shard
+        out[owner, np.arange(n_ent)] = local
+        return out
+
+    lsu = jax.device_put(local_map(plan.slot_of_upos.astype(np.int64),
+                                   rows_g.slots_per_shard, m), shard)
+    lsi = jax.device_put(local_map(plan.slot_of_ipos.astype(np.int64),
+                                   cols_g.slots_per_shard, n), shard)
+
+    ti = jax.device_put(plan.user_pos[T.row_idx], rep)
+    tj = jax.device_put(plan.item_pos[T.col_idx], rep)
+    tv = jax.device_put(np.asarray(T.val), rep)
+
+    step_fn = make_sharded_hybrid_step(plan, mesh, cfg.lambda_,
+                                       cfg.maxinneriter, residual_dtype=rdt)
+    rmse_fn = jax.jit(functools.partial(
+        calrmse_device, entity_major=False,
+        chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))
+
+    box = {"s": (Rds, vals_r, vals_c, W, H, u_pend, v_pend)}
+
+    def do_step():
+        Rds, vals_r, vals_c, W, H, up, vp = box["s"]
+        box["s"] = step_fn(idx_r, idx_c, Rds, masks, vals_r, vals_c, W, H,
+                           up, vp, row_nnz, col_nnz, lsu, lsi, eosr, eosi)
+
+    def do_rmse():
+        _, _, _, W, H, _, _ = box["s"]
+        return rmse_fn(ti, tj, tv, W, H)
+
+    def get_payload():
+        Rds, vals_r, vals_c, W, H, up, vp = box["s"]
+        payload = {"W": np.asarray(W), "H": np.asarray(H),
+                   "u_pend": np.asarray(up), "v_pend": np.asarray(vp)}
+        for i, Rp in enumerate(Rds):
+            payload[f"Rd_{i}"] = np.asarray(Rp)
+        for i, v_ in enumerate(vals_r):
+            payload[f"vals_r_{i}"] = np.asarray(v_)
+        for i, v_ in enumerate(vals_c):
+            payload[f"vals_c_{i}"] = np.asarray(v_)
+        return payload
+
+    stats = pipelined_loop(
+        start_oiter=start_oiter, maxiter=cfg.maxiter,
+        fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
+        callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
+        get_payload=get_payload)
+
+    _, _, _, W, H, _, _ = box["s"]
+    W_ent = np.asarray(W)[:, plan.user_pos]
+    H_ent = np.asarray(H)[:, plan.item_pos]
+    return W_ent, H_ent, stats

@@ -37,8 +37,15 @@ from .reference import IterStats
 
 
 def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
-                  precision=jax.lax.Precision.HIGHEST):
-    """Per-slot gram G (S, k, k) and rhs r (S, k) for one bucket.
+                  precision=jax.lax.Precision.HIGHEST,
+                  batch_last: bool = False):
+    """Per-slot gram and rhs for one bucket.
+
+    ``batch_last=False``: G (S, k, k), r (S, k). ``batch_last=True``: the
+    Pallas-GJ kernel's native layout G (k, k, S), r (k, S) — emitted
+    DIRECTLY by the assembly einsums so no (S, k, k) -> (k, k, S) relayout
+    pass runs between assembly and solve (measured ~1 GB/side of pure
+    transpose traffic at ml20M k=40).
 
     Padded lanes gather the zero row, contributing exactly 0 to both. Buckets
     with p == 1 (width E > 128) stream the lane axis in ``chunk``-wide slabs
@@ -47,6 +54,8 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
     k = other_ext.shape[1]
     rows, L = idx.shape
     S = rows * b.p
+    g_spec = "sek,sel->kls" if batch_last else "sek,sel->skl"
+    r_spec = "sek,se->ks" if batch_last else "sek,se->sk"
 
     def accumulate(idx2, val2):
         F = other_ext[idx2]                       # (S, E', k) row gather
@@ -54,9 +63,9 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
         # bf16 inputs, which drifts ~0.4% per solve — enough to fail the
         # reference's 10% golden bar after a few Gauss-Seidel iterations on
         # near-zero factor entries. Gram assembly must be true f32.
-        G = jnp.einsum("sek,sel->skl", F, F, preferred_element_type=jnp.float32,
+        G = jnp.einsum(g_spec, F, F, preferred_element_type=jnp.float32,
                        precision=precision)
-        r = jnp.einsum("sek,se->sk", F, val2, preferred_element_type=jnp.float32,
+        r = jnp.einsum(r_spec, F, val2, preferred_element_type=jnp.float32,
                        precision=precision)
         return G, r
 
@@ -72,9 +81,11 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
         dG, dr = accumulate(sl[0], sl[1])
         return (G + dG, r + dr), None
 
+    g_shape = (k, k, S) if batch_last else (S, k, k)
+    r_shape = (k, S) if batch_last else (S, k)
     (G, r), _ = jax.lax.scan(
         body,
-        (jnp.zeros((S, k, k), jnp.float32), jnp.zeros((S, k), jnp.float32)),
+        (jnp.zeros(g_shape, jnp.float32), jnp.zeros(r_shape, jnp.float32)),
         (idx_s, val_s))
     return G, r
 
@@ -131,6 +142,16 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
     eye = jnp.eye(k, dtype=jnp.float32)
     outs = []
     for i, b in enumerate(side.buckets):
+        if solver == "gj":
+            # assembly emits the kernel's batch-last layout directly
+            from ..ops.gj_pallas import gj_solve_pallas_bl
+            G_t, r_t = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext,
+                                     b, chunk, precision, batch_last=True)
+            A_t = G_t + lam * eye[:, :, None]      # λ unscaled, src/ALS.cpp:121
+            x = gj_solve_pallas_bl(
+                A_t, r_t, interpret=jax.default_backend() == "cpu").T
+            outs.append(x)
+            continue
         G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk,
                              precision)
         A = G + lam * eye                          # λ unscaled, src/ALS.cpp:121
@@ -153,8 +174,9 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
                         solver: str = "gj"):
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
-    prec = (jax.lax.Precision.HIGHEST if precision_name == "highest"
-            else jax.lax.Precision.DEFAULT)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision_name]
 
     def step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
         W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r,

@@ -100,17 +100,22 @@ class HybridPlan:
     panel_coo: Optional[tuple] = None
 
 
-def _candidate_boundaries(m: int, npts: int = 129) -> np.ndarray:
-    cand = np.unique((np.linspace(0, m, npts) / 8).round().astype(np.int64) * 8)
-    return np.minimum(cand, m)
+def _candidate_boundaries(m: int, align: int = 8,
+                          npts: int = 129) -> np.ndarray:
+    cand = np.unique((np.linspace(0, m, npts) / align).round()
+                     .astype(np.int64) * align)
+    return np.minimum(cand, (m // align) * align)
 
 
 def plan_hybrid(R: RatingMatrix, cfg: Config, *,
-                materialize_dense: bool = True) -> HybridPlan:
+                materialize_dense: bool = True,
+                num_shards: int = 1) -> HybridPlan:
     """Choose panel boundaries maximizing covered nnz under the cell budget
     (``cfg.hybrid_dense_cells``) by grid search over degree-sorted user
     boundaries, one per panel width (full n plus
-    ``cfg.hybrid_panel_widths``)."""
+    ``cfg.hybrid_panel_widths``). With ``num_shards = N`` every panel's row
+    count is N-aligned (device row blocks are equal) and the ELL remainder
+    is built shard-uniform (data/ell.py)."""
     m, n = R.rows, R.cols
     deg_u = R.row_nnz.astype(np.int64)
     deg_i = R.col_nnz.astype(np.int64)
@@ -134,7 +139,8 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
         cov = np.bincount(rp[cp < w], minlength=m)
         prefixes.append(np.concatenate([[0], np.cumsum(cov)]))
 
-    cand = _candidate_boundaries(m)
+    align = 8 * num_shards // np.gcd(8, num_shards)     # lcm(8, N)
+    cand = _candidate_boundaries(m, align)
     budget = int(cfg.hybrid_dense_cells)
     # grid-search non-decreasing boundaries r_1 <= ... <= r_W under the cell
     # budget sum (r_p - r_{p-1}) * w_p, maximizing covered nnz
@@ -189,8 +195,8 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
 
     light = ~in_panel
     R_light = from_coo(m, n, rp[light], cp[light], v[light].astype(np.float32))
-    ell = build_ell_pair(R_light, min_width=cfg.ell_min_width, num_shards=1,
-                         index_space="entity")
+    ell = build_ell_pair(R_light, min_width=cfg.ell_min_width,
+                         num_shards=num_shards, index_space="entity")
     rows, cols = ell.rows_side, ell.cols_side
 
     return HybridPlan(

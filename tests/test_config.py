@@ -33,7 +33,7 @@ def test_auto_backend_resolution():
     c = Config(backend="auto", dense_max_cells=1000)
     assert c.resolve_backend(10, 10) in (Backend.DENSE, Backend.PALLAS)
     assert c.resolve_backend(1000, 1000) == Backend.HYBRID
-    assert c.resolve_backend(1000, 1000, sharded=True) == Backend.ELL
+    assert c.resolve_backend(1000, 1000, sharded=True) == Backend.HYBRID
     assert Config(backend="auto", dense_max_cells=1000,
                   hybrid_dense_cells=0).resolve_backend(1000, 1000) == Backend.ELL
     assert Config(solver="als", backend="auto").resolve_backend(5, 5) == Backend.ELL
@@ -57,6 +57,7 @@ def test_solver_knob_validation():
     with pytest.raises(ValueError):
         Config(als_solver="GJ")
     with pytest.raises(ValueError):
-        Config(als_precision="high")
+        Config(als_precision="bf16")
+    Config(als_precision="high")        # bf16_3x — valid since round 2
     with pytest.raises(ValueError):
         Config(residual_dtype="float16")

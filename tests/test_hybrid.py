@@ -165,8 +165,6 @@ def test_hybrid_trainer_resume(small_data, tmp_path):
 def test_auto_resolves_hybrid_when_dense_too_big():
     cfg = Config(backend="auto", dense_max_cells=1000)
     assert cfg.resolve_backend(1000, 1000) == Backend.HYBRID
-    # sharded runs keep the ELL path (hybrid is single-chip)
-    assert cfg.resolve_backend(1000, 1000, sharded=True) == Backend.ELL
     # ALS never routes to hybrid
     assert Config(solver="als", backend="hybrid").resolve_backend(5, 5) \
         == Backend.ELL
