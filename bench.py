@@ -35,8 +35,6 @@ GATHER_S_PER_ROW = 3.3e-9          # measured paired row-gather issue rate
 
 
 def main() -> None:
-    import functools
-
     import jax
 
     if jax.default_backend() not in ("cpu",):
@@ -51,11 +49,10 @@ def main() -> None:
 
     from cuda_recommender_tpu.core.config import Config
     from cuda_recommender_tpu.core.init import init_factors_np
-    from cuda_recommender_tpu.data.datasets import synthetic
-    from cuda_recommender_tpu.data.sparse import from_coo, make_test
+    from cuda_recommender_tpu.data.datasets import synthetic_cached
     from cuda_recommender_tpu.eval.metrics import calrmse_np
     from cuda_recommender_tpu.solvers.ccd_hybrid import (
-        make_hybrid_outer_step, plan_hybrid)
+        densify_panels, make_hybrid_outer_step, plan_hybrid)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
@@ -66,37 +63,14 @@ def main() -> None:
         budget = 2_000 * 3_706
     lam = 0.05
 
-    cache = f"/tmp/crtpu_synth_{m}_{n}_{nnz}_s1.npz"
-    if os.path.exists(cache):
-        z = np.load(cache)
-        R = from_coo(m, n, z["ri"], z["ci"], z["vv"])
-        T = make_test(m, n, z["ti"], z["tj"], z["tv"])
-    else:
-        R, T = synthetic(m=m, n=n, nnz=nnz, seed=1, test_fraction=0.02)
-        ri, ci, vv = R.to_coo()
-        np.savez(cache, ri=ri, ci=ci, vv=vv, ti=T.row_idx, tj=T.col_idx,
-                 tv=T.val)
+    R, T = synthetic_cached(m, n, nnz, seed=1, test_fraction=0.02)
 
     cfg = Config(k=k, lambda_=lam, backend="hybrid",
                  residual_dtype="bfloat16", hybrid_dense_cells=budget)
     plan = plan_hybrid(R, cfg, materialize_dense=False)
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
     rdt = jnp.bfloat16
-
-    @functools.partial(jax.jit, static_argnums=(3, 4))
-    def densify_one(lr, lc, lv, rows_, w_):
-        Rd = jnp.zeros((rows_, w_), rdt).at[lr, lc].set(lv.astype(rdt))
-        Md = jnp.zeros((rows_, w_), jnp.bfloat16).at[lr, lc].set(1.0)
-        return Rd, Md
-
-    Rds, masks = [], []
-    for (lr, lc, lv), (r0, r1, w) in zip(plan.panel_coo or (), plan.panels):
-        Rd, Md = densify_one(jnp.asarray(lr), jnp.asarray(lc),
-                             jnp.asarray(lv), r1 - r0, w)
-        _ = np.asarray(Rd[:1]).sum()
-        Rds.append(Rd)
-        masks.append(Md)
-    Rds, masks = tuple(Rds), tuple(masks)
+    Rds, masks = densify_panels(plan, rdt)
 
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)

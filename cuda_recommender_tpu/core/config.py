@@ -146,8 +146,7 @@ class Config:
         if any(w <= 0 for w in self.hybrid_panel_widths):
             raise ValueError("hybrid_panel_widths must be positive")
 
-    def resolve_backend(self, m: int, n: int, *,
-                        sharded: bool = False) -> Backend:
+    def resolve_backend(self, m: int, n: int) -> Backend:
         """AUTO resolution: dense residual for CCD when it fits (the Pallas
         fused kernel on TPU, plain XLA elsewhere); for larger matrices the
         panel-hybrid path (single-device or sharded — the sharded variant

@@ -70,6 +70,12 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         return W, H, stats
 
     kw: dict = dict(callback=cb)
+    if cfg.phase_timing and cfg.solver == Solver.ALS:
+        raise NotImplementedError(
+            "phase_timing is a CCD telemetry mode (the reference splits CCD "
+            "iterations into rank/update phases, src/CCD.cpp:76-139; its ALS "
+            "prints one per-iteration time, which the normal loop already "
+            "measures)")
     if cfg.phase_timing and cfg.solver == Solver.CCD:
         if mesh is not None:
             raise NotImplementedError(
@@ -125,15 +131,25 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
 
 
 def checkpoint_meta(cfg: Config, backend: Backend, mesh) -> dict:
-    """Layout-determining knobs stamped into the checkpoint manifest: ELL
-    payloads are slot-space, so resuming under a different k / shard count /
-    bucket-width would map them onto a different slot permutation — a shape
-    error at best, silently wrong factors when shapes coincide."""
-    min_width = (cfg.als_min_width if cfg.solver == Solver.ALS
-                 else cfg.ell_min_width)
-    return {"k": cfg.k,
-            "num_shards": int(mesh.devices.size) if mesh is not None else 1,
-            "min_width": min_width}
+    """Layout-determining knobs stamped into the checkpoint manifest,
+    per backend: ELL/hybrid payloads are slot-/panel-space, so resuming
+    under a different k / shard count / bucket-width / panel plan would map
+    them onto a different layout — a shape error at best, silently wrong
+    factors when shapes coincide. Only knobs the backend's payload actually
+    depends on are stamped (a dense resume must not be rejected for an
+    irrelevant ELL knob)."""
+    meta: dict = {
+        "k": cfg.k,
+        "num_shards": int(mesh.devices.size) if mesh is not None else 1,
+    }
+    if cfg.solver == Solver.ALS:
+        meta["min_width"] = cfg.als_min_width
+    elif backend in (Backend.ELL, Backend.HYBRID):
+        meta["min_width"] = cfg.ell_min_width
+    if backend == Backend.HYBRID:
+        meta["hybrid_dense_cells"] = cfg.hybrid_dense_cells
+        meta["hybrid_panel_widths"] = list(cfg.hybrid_panel_widths)
+    return meta
 
 
 def _run_reference(cfg: Config, R, W0, H0, T, log):
@@ -166,7 +182,7 @@ def train(cfg: Config, R: RatingMatrix, T: TestCOO, *,
     checkpoint/resume (cfg.checkpoint_dir / resume_from_checkpoint)."""
     log = log or MetricsLog(cfg.metrics_file)
     entity_major = cfg.solver == Solver.ALS
-    backend = cfg.resolve_backend(R.rows, R.cols, sharded=mesh is not None)
+    backend = cfg.resolve_backend(R.rows, R.cols)
     log.info(f"[info] Picked Version: {cfg.solver.value.upper()}!")
     log.info("[info] Backend = %s | K = %d | InnerIter = %d | OuterIter = %d "
              "| L = %.3f" % (backend.value, cfg.k, cfg.maxinneriter,

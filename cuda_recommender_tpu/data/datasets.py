@@ -10,6 +10,8 @@ parser (``user item rating [ts]`` per line) for real data.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .sparse import RatingMatrix, TestCOO, from_coo, make_test
@@ -68,6 +70,28 @@ def synthetic(m: int, n: int, nnz: int, *, k_true: int = 8, noise: float = 0.1,
 
     R = from_coo(m, n, ui[tr], ii[tr], vals[tr])
     T = make_test(m, n, ui[te], ii[te], vals[te])
+    return R, T
+
+
+def synthetic_cached(m: int, n: int, nnz: int, *, seed: int = 0,
+                     test_fraction: float = 0.1,
+                     cache_dir: str = "/tmp") -> tuple[RatingMatrix, TestCOO]:
+    """Disk-cached ``synthetic()``: the inverse-CDF generation of a
+    50-100M-draw Zipf matrix takes minutes; benchmark drivers (bench.py,
+    scripts/bench_*.py) share one deterministic on-disk instance keyed by
+    (m, n, nnz, seed)."""
+    path = os.path.join(cache_dir, f"crtpu_synth_{m}_{n}_{nnz}_s{seed}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return (from_coo(m, n, z["ri"], z["ci"], z["vv"]),
+                make_test(m, n, z["ti"], z["tj"], z["tv"]))
+    R, T = synthetic(m=m, n=n, nnz=nnz, seed=seed,
+                     test_fraction=test_fraction)
+    ri, ci, vv = R.to_coo()
+    with open(path + ".tmp", "wb") as f:
+        np.savez(f, ri=ri, ci=ci, vv=vv, ti=T.row_idx, tj=T.col_idx,
+                 tv=T.val)
+    os.replace(path + ".tmp", path)        # atomic publish
     return R, T
 
 

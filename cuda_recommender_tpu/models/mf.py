@@ -91,6 +91,9 @@ def get_train_fn(solver: Solver, backend: Backend, *,
         from ..solvers.ccd_dense import ccd_dense_train
         return ccd_dense_train
     if backend == Backend.HYBRID:
+        if sharded:
+            from ..parallel.ccd_hybrid_sharded import ccd_hybrid_train_sharded
+            return ccd_hybrid_train_sharded
         from ..solvers.ccd_hybrid import ccd_hybrid_train
         return ccd_hybrid_train
     if sharded:

@@ -33,7 +33,7 @@ from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ell_ops import (extend_zero, paired_gather, residual_update,
                            sweep_partials)
-from ..solvers.ccd_hybrid import HybridPlan, plan_hybrid
+from ..solvers.ccd_hybrid import HybridPlan, densify_panels, plan_hybrid
 from ..solvers.pipeline import pipelined_loop
 from ..solvers.reference import IterStats
 from .mesh import AXIS
@@ -200,7 +200,7 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     rank-major ORIGINAL entity order; numerically equivalent to the
     single-device hybrid backend."""
     N = mesh.devices.size
-    plan = plan_hybrid(R, cfg, num_shards=N)
+    plan = plan_hybrid(R, cfg, num_shards=N, materialize_dense=False)
     rows_g, cols_g = plan.ell.rows_side, plan.ell.cols_side
     rdt = jnp.dtype(cfg.residual_dtype)
     k = W0.shape[0]
@@ -212,8 +212,7 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     idx_r = tuple(jax.device_put(b.idx, shard) for b in rows_g.buckets)
     idx_c = tuple(jax.device_put(b.idx, shard) for b in cols_g.buckets)
-    masks = tuple(jax.device_put(Mp.astype(jnp.bfloat16), shard)
-                  for Mp in plan.Md)
+    dense_Rds, masks = densify_panels(plan, rdt, sharding=shard)
 
     W0 = np.asarray(W0, np.float32)
     start_oiter = 1
@@ -230,7 +229,7 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         vals_c = tuple(jax.device_put(resume[f"vals_c_{i}"], shard)
                        for i in range(len(cols_g.buckets)))
     else:
-        Rds = tuple(jax.device_put(Rp.astype(rdt), shard) for Rp in plan.Rd)
+        Rds = dense_Rds
         W = jax.device_put(W0[:, plan.user_order], rep)
         H = jax.device_put(np.zeros((k, n), np.float32), rep)
         u_pend = jax.device_put(np.zeros(m, np.float32), rep)

@@ -107,6 +107,59 @@ def _candidate_boundaries(m: int, align: int = 8,
     return np.minimum(cand, (m // align) * align)
 
 
+def _search_boundaries(prefixes, widths, cand, budget: int,
+                       passes: int = 6) -> list[int]:
+    """Maximize covered nnz over non-decreasing boundaries r_1 <= ... <= r_W
+    (panel p spans users [r_{p-1}, r_p) at width w_p) under the cell budget
+    Σ (r_p - r_{p-1})·w_p, by coordinate ascent: optimize one boundary at a
+    time (vectorized over candidates) holding the others fixed, alternating
+    sweep direction. O(passes · W · |cand|) — a joint grid would be
+    |cand|^W, which hangs for more than ~3 panel widths."""
+    W = len(widths)
+    r = [0] * W
+
+    def cells(rr):
+        tot, prev = 0, 0
+        for b, w in zip(rr, widths):
+            tot += (b - prev) * w
+            prev = b
+        return tot
+
+    for p in range(passes):
+        order = range(W - 1, -1, -1) if p % 2 == 0 else range(W)
+        changed = False
+        for i in order:
+            lo = r[i - 1] if i > 0 else 0
+            hi = r[i + 1] if i < W - 1 else int(cand[-1])
+            opts = cand[(cand >= lo) & (cand <= hi)]
+            if opts.size == 0:
+                continue
+            base_cells = cells(r)
+            w_next = widths[i + 1] if i < W - 1 else 0
+            d_cells = (opts - r[i]) * (widths[i] - w_next)
+            feasible = base_cells + d_cells <= budget
+            if not feasible.any():
+                continue
+            # coverage as a function of r_i alone: terms i and i+1 depend on
+            # it: ... + (P_i[r_i] - P_i[r_{i-1}]) + (P_{i+1}[r_{i+1}] -
+            # P_{i+1}[r_i]) + ... -> gain(b) = P_i[b] - P_{i+1}[b] + const
+            Pi = prefixes[i]
+            Pn = prefixes[i + 1] if i < W - 1 else None
+            gain = Pi[opts].astype(np.int64)
+            cur_gain = int(Pi[r[i]])
+            if Pn is not None:
+                gain = gain - Pn[opts]
+                cur_gain -= int(Pn[r[i]])
+            gain = np.where(feasible, gain, np.iinfo(np.int64).min)
+            j = int(gain.argmax())
+            if int(gain[j]) > cur_gain:
+                r[i] = int(opts[j])
+                changed = True
+        if not changed and p > 0:
+            break
+    return r
+
+
 def plan_hybrid(R: RatingMatrix, cfg: Config, *,
                 materialize_dense: bool = True,
                 num_shards: int = 1) -> HybridPlan:
@@ -142,28 +195,7 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
     align = 8 * num_shards // np.gcd(8, num_shards)     # lcm(8, N)
     cand = _candidate_boundaries(m, align)
     budget = int(cfg.hybrid_dense_cells)
-    # grid-search non-decreasing boundaries r_1 <= ... <= r_W under the cell
-    # budget sum (r_p - r_{p-1}) * w_p, maximizing covered nnz
-    best, best_r = -1, [0] * len(widths)
-    grids = np.meshgrid(*([cand] * len(widths)), indexing="ij")
-    prev = np.zeros_like(grids[0])
-    cells = np.zeros_like(grids[0])
-    cover = np.zeros_like(grids[0])
-    ok = np.ones_like(grids[0], dtype=bool)
-    for g, w, P in zip(grids, widths, prefixes):
-        ok &= g >= prev
-        cells = cells + np.maximum(g - prev, 0) * w
-        cover = cover + np.maximum(P[g] - P[np.minimum(prev, g)], 0)
-        prev = g
-    ok &= cells <= budget
-    if ok.any():
-        flat = np.where(ok.ravel(), cover.ravel(), -1)
-        best_idx = int(flat.argmax())
-        best = int(flat[best_idx])
-        unr = np.unravel_index(best_idx, grids[0].shape)
-        best_r = [int(cand[i]) for i in unr]
-    if best <= 0:
-        best_r = [0] * len(widths)
+    best_r = _search_boundaries(prefixes, widths, cand, budget)
 
     panels = []
     r_prev = 0
@@ -214,6 +246,34 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
                                    cols.entity_of_slot).astype(np.int32),
         panel_coo=tuple(panel_coo) if panel_coo else None,
     )
+
+
+def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None):
+    """Device-side scatter of each panel's COO into its (rows, w) residual
+    block + bf16 mask — ONE jitted scatter per panel (a fused all-panel
+    scatter holds every output AND its zeros-init live at once; measured OOM
+    at the 2e9-cell budget). This is how the production train paths build
+    panels: a host-materialized Netflix panel set is ~16 GB of RAM plus a
+    multi-GB host->device ship, while the COO is ~nnz-sized."""
+    rdt = jnp.dtype(residual_dtype)
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def _one(lr, lc, lv, rows_, w_):
+        Rd = jnp.zeros((rows_, w_), rdt).at[lr, lc].set(lv.astype(rdt))
+        Md = jnp.zeros((rows_, w_), jnp.bfloat16).at[lr, lc].set(1.0)
+        return Rd, Md
+
+    Rds, masks = [], []
+    for (lr, lc, lv), (r0, r1, w) in zip(plan.panel_coo or (), plan.panels):
+        Rd, Md = _one(jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(lv),
+                      r1 - r0, w)
+        jax.block_until_ready(Rd)          # finish before the next scatter
+        if sharding is not None:
+            Rd = jax.device_put(Rd, sharding)
+            Md = jax.device_put(Md, sharding)
+        Rds.append(Rd)
+        masks.append(Md)
+    return tuple(Rds), tuple(masks)
 
 
 def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
@@ -364,7 +424,7 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     sets, the factors (sorted order) and the pending outer product — all of
     it training state (src/CCD.cpp:100-134)."""
     if plan is None:
-        plan = plan_hybrid(R, cfg)
+        plan = plan_hybrid(R, cfg, materialize_dense=False)
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
     rdt = jnp.dtype(cfg.residual_dtype)
     k = W0.shape[0]
@@ -372,7 +432,11 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
-    masks = tuple(jnp.asarray(Mp.astype(jnp.bfloat16)) for Mp in plan.Md)
+    if plan.panel_coo is not None:
+        dense_Rds, masks = densify_panels(plan, rdt)
+    else:                                  # caller passed a materialized plan
+        dense_Rds = tuple(jnp.asarray(Rp.astype(rdt)) for Rp in plan.Rd)
+        masks = tuple(jnp.asarray(Mp.astype(jnp.bfloat16)) for Mp in plan.Md)
 
     W0 = np.asarray(W0, np.float32)
     start_oiter = 1
@@ -389,7 +453,7 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         vals_c = tuple(jnp.asarray(resume[f"vals_c_{i}"])
                        for i in range(len(cols.buckets)))
     else:
-        Rds = tuple(jnp.asarray(Rp.astype(rdt)) for Rp in plan.Rd)
+        Rds = dense_Rds
         W = jnp.asarray(W0[:, plan.user_order])        # sorted entity order
         H = jnp.zeros((k, n), jnp.float32)             # src/CCD.cpp:56-60
         u_pend = jnp.zeros(m, jnp.float32)

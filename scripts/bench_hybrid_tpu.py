@@ -56,17 +56,8 @@ def main():
           f"budget={cells}", flush=True)
 
     t0 = time.perf_counter()
-    cache = f"/tmp/crtpu_synth_{m}_{n}_{nnz}_s1.npz"
-    if os.path.exists(cache):
-        z = np.load(cache)
-        from cuda_recommender_tpu.data.sparse import from_coo, make_test
-        R = from_coo(m, n, z["ri"], z["ci"], z["vv"])
-        T = make_test(m, n, z["ti"], z["tj"], z["tv"])
-    else:
-        R, T = synthetic(m=m, n=n, nnz=nnz, seed=1, test_fraction=0.02)
-        ri, ci, vv = R.to_coo()
-        np.savez(cache, ri=ri, ci=ci, vv=vv, ti=T.row_idx, tj=T.col_idx,
-                 tv=T.val)
+    from cuda_recommender_tpu.data.datasets import synthetic_cached
+    R, T = synthetic_cached(m, n, nnz, seed=1, test_fraction=0.02)
     print(f"synthetic gen/load: {time.perf_counter()-t0:.1f}s "
           f"(actual nnz={R.nnz})", flush=True)
 
@@ -82,24 +73,9 @@ def main():
 
     rdt = jnp.bfloat16
 
-    # one scatter program PER PANEL, sequential: a fused all-panel densify
-    # holds every output + its zeros-init simultaneously and OOMs at 2e9
-    # budget cells (8 GB of outputs alone)
-    @functools.partial(jax.jit, static_argnums=(3, 4))
-    def densify_one(lr, lc, lv, rows_, w_):
-        Rd = jnp.zeros((rows_, w_), rdt).at[lr, lc].set(lv.astype(rdt))
-        Md = jnp.zeros((rows_, w_), jnp.bfloat16).at[lr, lc].set(1.0)
-        return Rd, Md
-
     t0 = time.perf_counter()
-    Rds, masks = [], []
-    for (lr, lc, lv), (r0, r1, w) in zip(plan.panel_coo, plan.panels):
-        Rd, Md = densify_one(jnp.asarray(lr), jnp.asarray(lc),
-                             jnp.asarray(lv), r1 - r0, w)
-        _ = np.asarray(Rd[:1]).sum()               # fence before next panel
-        Rds.append(Rd)
-        masks.append(Md)
-    Rds, masks = tuple(Rds), tuple(masks)
+    from cuda_recommender_tpu.solvers.ccd_hybrid import densify_panels
+    Rds, masks = densify_panels(plan, rdt)
     print(f"densify(+COO ship): {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()

@@ -33,7 +33,6 @@ def test_auto_backend_resolution():
     c = Config(backend="auto", dense_max_cells=1000)
     assert c.resolve_backend(10, 10) in (Backend.DENSE, Backend.PALLAS)
     assert c.resolve_backend(1000, 1000) == Backend.HYBRID
-    assert c.resolve_backend(1000, 1000, sharded=True) == Backend.HYBRID
     assert Config(backend="auto", dense_max_cells=1000,
                   hybrid_dense_cells=0).resolve_backend(1000, 1000) == Backend.ELL
     assert Config(solver="als", backend="auto").resolve_backend(5, 5) == Backend.ELL

@@ -47,9 +47,9 @@ def test_sharded_hybrid_through_trainer(small_data):
     assert res_m.backend == "hybrid"
 
 
-def test_auto_sharded_resolves_hybrid():
+def test_auto_resolves_hybrid_for_large():
     cfg = Config(backend="auto", dense_max_cells=1000)
-    assert cfg.resolve_backend(1000, 1000, sharded=True) == Backend.HYBRID
+    assert cfg.resolve_backend(1000, 1000) == Backend.HYBRID
 
 
 def test_sharded_hybrid_resume(small_data, tmp_path):
