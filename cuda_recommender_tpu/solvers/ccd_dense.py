@@ -160,6 +160,22 @@ def build_dense_inputs(R: RatingMatrix, dtype=np.float32):
     return Rd.astype(dtype), Md
 
 
+def _device_densify(R: RatingMatrix, mp: int, np_: int, rdt):
+    """Device-side densification via one jitted COO scatter: ships ~12 B/nnz
+    instead of the host-built (m, n) residual+mask (~4.5 GB at ml10M dims —
+    300x the COO — which dominated every run through the tunneled chip)."""
+    r, c, v = R.to_coo()
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def densify(ri, ci, vv, mp, np_):
+        Rd = jnp.zeros((mp, np_), rdt).at[ri, ci].set(vv.astype(rdt))
+        Md = jnp.zeros((mp, np_), jnp.bfloat16).at[ri, ci].set(1.0)
+        return Rd, Md
+
+    return densify(jnp.asarray(r), jnp.asarray(c),
+                   jnp.asarray(v.astype(np.float32)), mp, np_)
+
+
 def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                     T: TestCOO, cfg: Config, *,
                     callback: Optional[Callable[[IterStats], None]] = None,
@@ -177,7 +193,6 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     state, src/CCD.cpp:100-134); ``resume`` takes such a payload plus its
     ``oiter`` to continue a run."""
     rdt = jnp.dtype(cfg.residual_dtype)
-    Rd, Md = build_dense_inputs(R, dtype=rdt)
     row_nnz = np.diff(R.csr_ptr).astype(np.float32)
     col_nnz = np.diff(R.csc_ptr).astype(np.float32)
 
@@ -186,22 +201,21 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     # Pad entities are all-zero mask/residual with zero factors, so every
     # sweep keeps them exactly 0 (empty-entity rule, src/CCD.cpp:8).
     m, n = R.rows, R.cols
+    m_pad = n_pad = 0
     if shardings is not None:
         row_div, col_div = shardings.get("_divs", (1, 1))
         m_pad, n_pad = (-m) % row_div, (-n) % col_div
         if m_pad or n_pad:
-            Rd = np.pad(Rd, ((0, m_pad), (0, n_pad)))
-            Md = np.pad(Md, ((0, m_pad), (0, n_pad)))
             row_nnz = np.pad(row_nnz, (0, m_pad))
             col_nnz = np.pad(col_nnz, (0, n_pad))
             W0 = np.pad(np.asarray(W0, np.float32), ((0, 0), (0, m_pad)))
             H0 = np.pad(np.asarray(H0, np.float32), ((0, 0), (0, n_pad)))
-    mp, np_ = Rd.shape
+    mp, np_ = m + m_pad, n + n_pad
 
     put = functools.partial(_put, shardings)
-    mask = put(Md.astype(jnp.bfloat16), "rowmat")     # {0,1} exact in bf16
     start_oiter = 1
     if resume is not None:
+        mask = put(_device_densify(R, mp, np_, rdt)[1], "rowmat")
         start_oiter = int(resume["oiter"]) + 1
         state = DenseState(
             Rhat=put(resume["Rhat"].astype(rdt), "rowmat"),
@@ -211,6 +225,8 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             v_pend=put(resume["v_pend"].astype(np.float32), "colvec"),
         )
     else:
+        Rd, Md = _device_densify(R, mp, np_, rdt)
+        mask = put(Md, "rowmat")                      # {0,1} exact in bf16
         state = DenseState(
             Rhat=put(Rd, "rowmat"),
             W=put(np.asarray(W0, np.float32), "colshard_k_m"),
