@@ -168,8 +168,13 @@ def _device_densify(R: RatingMatrix, mp: int, np_: int, rdt):
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def densify(ri, ci, vv, mp, np_):
-        Rd = jnp.zeros((mp, np_), rdt).at[ri, ci].set(vv.astype(rdt))
-        Md = jnp.zeros((mp, np_), jnp.bfloat16).at[ri, ci].set(1.0)
+        # unique_indices=True is load-bearing: without it the TPU scatter
+        # serializes duplicate handling — measured ~90 s for 10M elements vs
+        # 0.4 s with it (COO pairs are unique by construction)
+        Rd = jnp.zeros((mp, np_), rdt).at[ri, ci].set(
+            vv.astype(rdt), unique_indices=True, mode="drop")
+        Md = jnp.zeros((mp, np_), jnp.bfloat16).at[ri, ci].set(
+            1.0, unique_indices=True, mode="drop")
         return Rd, Md
 
     return densify(jnp.asarray(r), jnp.asarray(c),

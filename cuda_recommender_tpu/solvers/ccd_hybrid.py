@@ -259,8 +259,13 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None):
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def _one(lr, lc, lv, rows_, w_):
-        Rd = jnp.zeros((rows_, w_), rdt).at[lr, lc].set(lv.astype(rdt))
-        Md = jnp.zeros((rows_, w_), jnp.bfloat16).at[lr, lc].set(1.0)
+        # unique_indices=True is load-bearing: without it the TPU scatter
+        # serializes duplicate handling (measured ~200x slower at 10M+
+        # elements; COO pairs are unique by construction)
+        Rd = jnp.zeros((rows_, w_), rdt).at[lr, lc].set(
+            lv.astype(rdt), unique_indices=True, mode="drop")
+        Md = jnp.zeros((rows_, w_), jnp.bfloat16).at[lr, lc].set(
+            1.0, unique_indices=True, mode="drop")
         return Rd, Md
 
     Rds, masks = [], []
