@@ -24,6 +24,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--queries", type=int, default=8192)
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantized item table (4x smaller HBM footprint;"
+                        " per-item scales, dequantized in-register)")
     p.add_argument("--rel-threshold", type=float, default=4.0,
                    help="held-out items with rating >= this count as "
                         "relevant (rating-MF retrieves by predicted rating, "
@@ -59,13 +62,25 @@ def main(argv=None) -> int:
     n, k = H.shape
     pad = (-n) % args.chunk
     Hp = np.pad(H.astype(np.float32), ((0, pad), (0, 0)))
-    Hd = jnp.asarray(Hp)
+    if args.int8:
+        from ..serve.retrieval import quantize_item_table, topk_mips_device_int8
+        Hq, scale = quantize_item_table(Hp)
+        Hqd, scd = jnp.asarray(Hq), jnp.asarray(scale)
+
+        def run_batch(U):
+            return topk_mips_device_int8(U, Hqd, scd, topk=args.topk,
+                                         chunk=args.chunk)
+    else:
+        Hd = jnp.asarray(Hp)
+
+        def run_batch(U):
+            return topk_mips_device(U, Hd, topk=args.topk, chunk=args.chunk)
     rng = np.random.default_rng(0)
     users = rng.integers(0, W.shape[0], args.queries).astype(np.int64)
 
     # one warmup batch compiles the streaming kernel
     U0 = jnp.asarray(W[users[:args.batch]].astype(np.float32))
-    s, i = topk_mips_device(U0, Hd, topk=args.topk, chunk=args.chunk)
+    s, i = run_batch(U0)
     np.asarray(s)
 
     t0 = time.perf_counter()
@@ -75,7 +90,7 @@ def main(argv=None) -> int:
         if len(b) < args.batch:
             b = np.pad(b, (0, args.batch - len(b)))
         U = jnp.asarray(W[b].astype(np.float32))
-        s, i = topk_mips_device(U, Hd, topk=args.topk, chunk=args.chunk)
+        s, i = run_batch(U)
         done += args.batch
     np.asarray(s)                              # honest completion fence
     dt = time.perf_counter() - t0
@@ -88,7 +103,7 @@ def main(argv=None) -> int:
     exclude = {int(u): R.csr_idx[R.csr_ptr[u]:R.csr_ptr[u + 1]]
                for u in sample}
     _, items = topk_mips(W, H, sample, topk=args.topk, chunk=args.chunk,
-                         exclude=exclude)
+                         exclude=exclude, int8=args.int8)
     rec = recall_at_k(items, relevant)
 
     print(json.dumps({
@@ -98,6 +113,7 @@ def main(argv=None) -> int:
         "vs_baseline": round(rec, 4),
         "detail": {"recall_at_k": round(rec, 4), "topk": args.topk,
                    "items": n, "rank": k, "batch": args.batch,
+                   "int8": bool(args.int8),
                    "note": "vs_baseline field carries recall@k (reference "
                            "has no serving benchmark)"},
     }))

@@ -55,33 +55,56 @@ def topk_mips_device(U: jnp.ndarray, H_em: jnp.ndarray, *, topk: int,
     return best_s, best_i
 
 
-def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
-              entity_major: bool = True,
-              exclude: dict[int, np.ndarray] | None = None
-              ) -> tuple[np.ndarray, np.ndarray]:
-    """Host API: top-k item retrieval for a batch of users.
+def quantize_item_table(H_em: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-item int8 quantization of the item factor table
+    (ARCHITECTURE roadmap: 4x smaller HBM footprint for large catalogs;
+    retrieval reads int8 rows from HBM and dequantizes in-register).
 
-    ``exclude`` optionally maps user id -> item ids to mask out (e.g. train
-    interactions when evaluating recall on held-out items). Masking happens
-    host-side on an over-fetched candidate set (topk + max excluded), keeping
-    the device kernel dense and branch-free.
-    """
-    W_em, H_em = as_entity_major(W, H, entity_major)
-    n, k = H_em.shape
-    extra = max((len(v) for v in exclude.values()), default=0) if exclude else 0
-    fetch = min(n, topk + extra)
-    pad = (-n) % chunk
-    Hp = np.pad(H_em, ((0, pad), (0, 0)))
-    # Pad rows are zero vectors and score 0, which CAN outrank real items
-    # when all true scores are negative. Correctness relies on over-fetching
-    # (`fetch + pad` below) so at least `fetch` REAL items survive, then
-    # dropping pad ids via the `valid = i < n` filter. Do not shrink the
-    # over-fetch without replacing this mechanism.
-    U = W_em[np.asarray(user_ids, np.int64)]
-    s, i = topk_mips_device(jnp.asarray(U), jnp.asarray(Hp),
-                            topk=min(fetch + pad, n + pad), chunk=chunk)
+    Returns (Hq int8 (n, k), scale f32 (n,)) with
+    H[j] ≈ Hq[j] * scale[j]."""
+    H_em = np.asarray(H_em, np.float32)
+    amax = np.abs(H_em).max(axis=1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    Hq = np.clip(np.rint(H_em / scale[:, None]), -127, 127).astype(np.int8)
+    return Hq, scale
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "chunk"))
+def topk_mips_device_int8(U: jnp.ndarray, Hq: jnp.ndarray,
+                          scale: jnp.ndarray, *, topk: int,
+                          chunk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming top-k over an int8-quantized item table: identical merge
+    structure to topk_mips_device, but each chunk streams int8 rows out of
+    HBM (1/4 the bandwidth of f32) and dequantizes in-register — the
+    conversion fuses into the matmul, so the pass stays memory-bound on a
+    4x smaller table."""
+    n = Hq.shape[0]
+    Hc = Hq.reshape(n // chunk, chunk, Hq.shape[1])
+    Sc = scale.reshape(n // chunk, chunk)
+    B = U.shape[0]
+
+    def body(carry, xs):
+        best_s, best_i = carry
+        Hb, sc, base = xs
+        s = jnp.einsum("bk,ck->bc", U, Hb.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * sc[None, :]
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate([best_i, ids], axis=1)
+        top_s, pos = jax.lax.top_k(cand_s, topk)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (jnp.full((B, topk), NEG), jnp.full((B, topk), -1, jnp.int32))
+    bases = (jnp.arange(n // chunk, dtype=jnp.int32) * chunk)
+    (best_s, best_i), _ = jax.lax.scan(body, init, (Hc, Sc, bases))
+    return best_s, best_i
+
+
+def _postprocess(s, i, n, topk, user_ids, exclude):
+    """Drop padding rows + apply per-user exclusions on the over-fetched
+    candidate set (host-side, keeping the device kernel dense)."""
     s, i = np.asarray(s), np.asarray(i)
-    # drop padding rows (zero vectors can still outrank when all scores < 0)
     valid = i < n
     out_s = np.full((len(user_ids), topk), -np.inf, np.float32)
     out_i = np.full((len(user_ids), topk), -1, np.int32)
@@ -97,4 +120,39 @@ def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
     return out_s, out_i
 
 
-from ..eval.ranking import recall_at_k  # noqa: E402,F401  (canonical home)
+def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
+              entity_major: bool = True,
+              exclude: dict[int, np.ndarray] | None = None,
+              int8: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Host API: top-k item retrieval for a batch of users.
+
+    ``exclude`` optionally maps user id -> item ids to mask out (e.g. train
+    interactions when evaluating recall on held-out items). Masking happens
+    host-side on an over-fetched candidate set (topk + max excluded), keeping
+    the device kernel dense and branch-free. ``int8=True`` quantizes the
+    item table per-item (quantize_item_table) and runs the int8 streaming
+    kernel — production callers should quantize once and call
+    topk_mips_device_int8 directly.
+    """
+    W_em, H_em = as_entity_major(W, H, entity_major)
+    n, k = H_em.shape
+    extra = max((len(v) for v in exclude.values()), default=0) if exclude else 0
+    fetch = min(n, topk + extra)
+    pad = (-n) % chunk
+    Hp = np.pad(H_em, ((0, pad), (0, 0)))
+    # Pad rows are zero vectors and score 0, which CAN outrank real items
+    # when all true scores are negative. Correctness relies on over-fetching
+    # (`fetch + pad` below) so at least `fetch` REAL items survive, then
+    # dropping pad ids via the `valid = i < n` filter. Do not shrink the
+    # over-fetch without replacing this mechanism.
+    U = W_em[np.asarray(user_ids, np.int64)]
+    if int8:
+        Hq, scale = quantize_item_table(Hp)
+        s, i = topk_mips_device_int8(jnp.asarray(U), jnp.asarray(Hq),
+                                     jnp.asarray(scale),
+                                     topk=min(fetch + pad, n + pad),
+                                     chunk=chunk)
+    else:
+        s, i = topk_mips_device(jnp.asarray(U), jnp.asarray(Hp),
+                                topk=min(fetch + pad, n + pad), chunk=chunk)
+    return _postprocess(s, i, n, topk, user_ids, exclude)

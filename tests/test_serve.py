@@ -5,7 +5,8 @@ import pytest
 
 from cuda_recommender_tpu.data.binfmt import save_model
 from cuda_recommender_tpu.models.mf import MFModel
-from cuda_recommender_tpu.serve.retrieval import recall_at_k, topk_mips
+from cuda_recommender_tpu.eval.ranking import recall_at_k
+from cuda_recommender_tpu.serve.retrieval import topk_mips
 from cuda_recommender_tpu.serve.scoring import (predict_pairs,
                                                 predict_to_file, score_users)
 
@@ -145,3 +146,46 @@ def test_topk_mips_sharded_negative_scores_and_exclude(factors):
     _, ie = topk_mips_sharded(Wneg, Hpos, users, mesh, topk=4, chunk=16,
                               exclude=excl)
     assert i1[0][0] not in ie[0]
+
+
+def test_int8_retrieval_matches_f32():
+    """int8-quantized retrieval: per-item dequantization error is bounded by
+    amax/127, and the returned top-k substantially agrees with the f32 path
+    (scores within quantization tolerance)."""
+    import numpy as np
+    from cuda_recommender_tpu.serve.retrieval import (quantize_item_table,
+                                                      topk_mips)
+    rng = np.random.default_rng(5)
+    n, k, B = 700, 16, 8
+    H = rng.normal(size=(n, k)).astype(np.float32)
+    W = rng.normal(size=(64, k)).astype(np.float32)
+    Hq, scale = quantize_item_table(H)
+    err = np.abs(H - Hq.astype(np.float32) * scale[:, None]).max(axis=1)
+    assert np.all(err <= np.abs(H).max(axis=1) / 127.0 + 1e-6)
+
+    users = np.arange(B)
+    s32, i32 = topk_mips(W, H, users, topk=10, chunk=128)
+    s8, i8 = topk_mips(W, H, users, topk=10, chunk=128, int8=True)
+    overlap = np.mean([len(np.intersect1d(a, b)) for a, b in zip(i32, i8)])
+    assert overlap >= 8.0                       # ≥80% top-10 agreement
+    # where the item sets agree, scores agree to quantization tolerance
+    for b in range(B):
+        common = np.intersect1d(i32[b], i8[b])
+        m32 = {i: v for i, v in zip(i32[b], s32[b])}
+        m8 = {i: v for i, v in zip(i8[b], s8[b])}
+        for it in common:
+            assert abs(m32[it] - m8[it]) < 0.15
+
+
+def test_int8_retrieval_with_exclusions():
+    import numpy as np
+    from cuda_recommender_tpu.serve.retrieval import topk_mips
+    rng = np.random.default_rng(6)
+    H = rng.normal(size=(300, 8)).astype(np.float32)
+    W = rng.normal(size=(10, 8)).astype(np.float32)
+    excl = {0: np.arange(50), 3: np.array([5, 7])}
+    _, ids = topk_mips(W, H, np.arange(10), topk=5, chunk=128, int8=True,
+                       exclude=excl)
+    assert not np.isin(ids[0], excl[0]).any()
+    assert not np.isin(ids[3], excl[3]).any()
+    assert (ids >= 0).all()
