@@ -26,7 +26,7 @@ from ..core.config import Config
 from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ccd_pallas import BM, BN, fused_update_vsweep
-from .ccd_dense import DenseState, _half_sweep, build_dense_inputs
+from .ccd_dense import DenseState, _device_densify, _half_sweep
 from .pipeline import pipelined_loop
 from .reference import IterStats
 
@@ -71,16 +71,13 @@ def ccd_pallas_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     Returns (W, H, stats) in the reference's rank-major layout."""
     interpret = jax.default_backend() == "cpu"
     rdt = jnp.dtype(cfg.residual_dtype)
-    Rd, Md = build_dense_inputs(R, dtype=rdt)
     m, n = R.rows, R.cols
     m_pad, n_pad = (-m) % BM, (-n) % BN
-    Rd = np.pad(Rd, ((0, m_pad), (0, n_pad)))
-    Md = np.pad(Md, ((0, m_pad), (0, n_pad)))
     row_nnz = np.pad(np.diff(R.csr_ptr).astype(np.float32), (0, m_pad))
     col_nnz = np.pad(np.diff(R.csc_ptr).astype(np.float32), (0, n_pad))
     mp, np_ = m + m_pad, n + n_pad
 
-    mask = jnp.asarray(Md, dtype=jnp.bfloat16)
+    Rd, mask = _device_densify(R, mp, np_, rdt)
     start_oiter = 1
     if resume is not None:
         start_oiter = int(resume["oiter"]) + 1
@@ -91,7 +88,7 @@ def ccd_pallas_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                            v_pend=jnp.asarray(resume["v_pend"]))
     else:
         state = DenseState(
-            Rhat=jnp.asarray(Rd),
+            Rhat=Rd,
             W=jnp.asarray(np.pad(np.asarray(W0, np.float32),
                                  ((0, 0), (0, m_pad)))),
             H=jnp.zeros((H0.shape[0], np_), jnp.float32),  # src/CCD.cpp:56-60
