@@ -34,7 +34,15 @@ def main(argv=None) -> int:
                         "which rating factors do not encode)")
     args = p.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() not in ("cpu",):
+        # persistent compile cache (see cli/bench.py — env var alone is not
+        # enough on the tunneled platform)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_crtpu_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from ..core.config import Config
     from ..core.init import init_factors_np
