@@ -16,6 +16,12 @@ never move, only (m,)/(n,)-sized partial vectors do.
 The per-device math is byte-identical to solvers/ccd_hybrid.py (same panel
 matvec schedule, same paired-gather ELL tail, same deferred pends), so
 sharded == single-device numerically (tests/test_hybrid_sharded.py).
+
+Multi-host note: this train wrapper device_puts GLOBAL host arrays, which is
+a single-process (1-host, N-chip) pattern. Under real multi-process
+jax.distributed, feed each host's blocks with multihost.assemble_global the
+way the ELL path's worker does (tests/multihost_worker.py) — the shard_map
+step itself is process-count-agnostic.
 """
 
 from __future__ import annotations
