@@ -218,7 +218,8 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     idx_r = tuple(jax.device_put(b.idx, shard) for b in rows_g.buckets)
     idx_c = tuple(jax.device_put(b.idx, shard) for b in cols_g.buckets)
-    dense_Rds, masks = densify_panels(plan, rdt, sharding=shard)
+    dense_Rds, masks = densify_panels(plan, rdt, sharding=shard,
+                                      mask_dtype=cfg.mask_dtype)
 
     W0 = np.asarray(W0, np.float32)
     start_oiter = 1

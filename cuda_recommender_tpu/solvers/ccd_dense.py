@@ -45,6 +45,7 @@ import numpy as np
 from ..core.config import Config
 from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
+from ..ops.densify import densify_coo
 from .pipeline import pipelined_loop
 from .reference import IterStats
 
@@ -160,22 +161,22 @@ def build_dense_inputs(R: RatingMatrix, dtype=np.float32):
     return Rd.astype(dtype), Md
 
 
-def _device_densify(R: RatingMatrix, mp: int, np_: int, rdt):
+def _device_densify(R: RatingMatrix, mp: int, np_: int, rdt,
+                    mdt=jnp.bfloat16):
     """Device-side densification via one jitted COO scatter: ships ~12 B/nnz
     instead of the host-built (m, n) residual+mask (~4.5 GB at ml10M dims —
-    300x the COO — which dominated every run through the tunneled chip)."""
+    300x the COO — which dominated every run through the tunneled chip).
+    ``mdt`` is the mask storage dtype (cfg.mask_dtype; int8 halves mask
+    traffic with identical numerics — {0,1} is exact in both)."""
     r, c, v = R.to_coo()
+    mdt = jnp.dtype(mdt)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def densify(ri, ci, vv, mp, np_):
-        # unique_indices=True is load-bearing: without it the TPU scatter
-        # serializes duplicate handling — measured ~90 s for 10M elements vs
-        # 0.4 s with it (COO pairs are unique by construction)
-        Rd = jnp.zeros((mp, np_), rdt).at[ri, ci].set(
-            vv.astype(rdt), unique_indices=True, mode="drop")
-        Md = jnp.zeros((mp, np_), jnp.bfloat16).at[ri, ci].set(
-            1.0, unique_indices=True, mode="drop")
-        return Rd, Md
+        # chunked scatter (ops/densify.py): unique_indices inside is
+        # load-bearing (unchunked+serialized duplicates measured ~90 s for
+        # 10M elements vs 0.4 s), chunking bounds the lane-padded index temp
+        return densify_coo(ri, ci, vv, mp, np_, rdt, mdt)
 
     return densify(jnp.asarray(r), jnp.asarray(c),
                    jnp.asarray(v.astype(np.float32)), mp, np_)
@@ -220,7 +221,8 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     put = functools.partial(_put, shardings)
     start_oiter = 1
     if resume is not None:
-        mask = put(_device_densify(R, mp, np_, rdt)[1], "rowmat")
+        mask = put(_device_densify(R, mp, np_, rdt,
+                                   mdt=cfg.mask_dtype)[1], "rowmat")
         start_oiter = int(resume["oiter"]) + 1
         state = DenseState(
             Rhat=put(resume["Rhat"].astype(rdt), "rowmat"),
@@ -230,8 +232,8 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             v_pend=put(resume["v_pend"].astype(np.float32), "colvec"),
         )
     else:
-        Rd, Md = _device_densify(R, mp, np_, rdt)
-        mask = put(Md, "rowmat")                      # {0,1} exact in bf16
+        Rd, Md = _device_densify(R, mp, np_, rdt, mdt=cfg.mask_dtype)
+        mask = put(Md, "rowmat")            # {0,1} exact in bf16 and int8
         state = DenseState(
             Rhat=put(Rd, "rowmat"),
             W=put(np.asarray(W0, np.float32), "colshard_k_m"),

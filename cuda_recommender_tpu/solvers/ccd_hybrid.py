@@ -65,6 +65,7 @@ from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO, from_coo
 from ..eval.metrics import calrmse_device, default_eval_chunk
+from ..ops.densify import densify_coo
 from ..ops.ell_ops import (extend_zero, paired_gather, residual_update,
                            sweep_partials)
 from .pipeline import pipelined_loop
@@ -248,25 +249,26 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
     )
 
 
-def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None):
+def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
+                   mask_dtype=jnp.bfloat16):
     """Device-side scatter of each panel's COO into its (rows, w) residual
-    block + bf16 mask — ONE jitted scatter per panel (a fused all-panel
+    block + mask — ONE jitted scatter per panel (a fused all-panel
     scatter holds every output AND its zeros-init live at once; measured OOM
     at the 2e9-cell budget). This is how the production train paths build
     panels: a host-materialized Netflix panel set is ~16 GB of RAM plus a
-    multi-GB host->device ship, while the COO is ~nnz-sized."""
+    multi-GB host->device ship, while the COO is ~nnz-sized.
+
+    ``mask_dtype`` int8 halves the mask's HBM footprint/read traffic with
+    identical numerics ({0,1} exact; the sweeps convert at the operand
+    load, cfg.mask_dtype)."""
     rdt = jnp.dtype(residual_dtype)
+    mdt = jnp.dtype(mask_dtype)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def _one(lr, lc, lv, rows_, w_):
-        # unique_indices=True is load-bearing: without it the TPU scatter
-        # serializes duplicate handling (measured ~200x slower at 10M+
-        # elements; COO pairs are unique by construction)
-        Rd = jnp.zeros((rows_, w_), rdt).at[lr, lc].set(
-            lv.astype(rdt), unique_indices=True, mode="drop")
-        Md = jnp.zeros((rows_, w_), jnp.bfloat16).at[lr, lc].set(
-            1.0, unique_indices=True, mode="drop")
-        return Rd, Md
+        # chunked scatter: bounds the lane-padded (nnz, 2) index temp that
+        # OOMs a fresh compile at Netflix-panel nnz (ops/densify.py)
+        return densify_coo(lr, lc, lv, rows_, w_, rdt, mdt)
 
     Rds, masks = [], []
     for (lr, lc, lv), (r0, r1, w) in zip(plan.panel_coo or (), plan.panels):
@@ -437,11 +439,12 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
+    mdt = jnp.dtype(cfg.mask_dtype)
     if plan.panel_coo is not None:
-        dense_Rds, masks = densify_panels(plan, rdt)
+        dense_Rds, masks = densify_panels(plan, rdt, mask_dtype=mdt)
     else:                                  # caller passed a materialized plan
         dense_Rds = tuple(jnp.asarray(Rp.astype(rdt)) for Rp in plan.Rd)
-        masks = tuple(jnp.asarray(Mp.astype(jnp.bfloat16)) for Mp in plan.Md)
+        masks = tuple(jnp.asarray(Mp.astype(mdt)) for Mp in plan.Md)
 
     W0 = np.asarray(W0, np.float32)
     start_oiter = 1

@@ -51,9 +51,10 @@ def main():
              else 2_000_000_000)
     m = int(os.environ.get("CRTPU_BENCH_M", 480_189))
     n = int(os.environ.get("CRTPU_BENCH_N", 17_770))
+    mask_dtype = os.environ.get("CRTPU_MASK_DTYPE", "bfloat16")
     lam = 0.05
     print(f"backend={jax.default_backend()} m={m} n={n} nnz={nnz} k={k} "
-          f"budget={cells}", flush=True)
+          f"budget={cells} mask={mask_dtype}", flush=True)
 
     t0 = time.perf_counter()
     from cuda_recommender_tpu.data.datasets import synthetic_cached
@@ -75,7 +76,7 @@ def main():
 
     t0 = time.perf_counter()
     from cuda_recommender_tpu.solvers.ccd_hybrid import densify_panels
-    Rds, masks = densify_panels(plan, rdt)
+    Rds, masks = densify_panels(plan, rdt, mask_dtype=mask_dtype)
     print(f"densify(+COO ship): {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
@@ -140,6 +141,7 @@ def main():
         "rating_updates_per_s_M": round(R.nnz * k / dt / 1e6, 1),
         "vs_round1_ell_80M": round(R.nnz * k / dt / 80e6, 2),
         "rmse_after_5_iters": round(rmse, 4),
+        "mask_dtype": mask_dtype,
         "t_xfer_s": round(t_xfer, 3),
     }
     print("RESULT " + json.dumps(out), flush=True)

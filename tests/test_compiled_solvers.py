@@ -50,6 +50,21 @@ def test_ccd_dense_golden(small_data, ccd_golden):
     _assert_matches(W, H, stats, Wr, Hr, stats_r)
 
 
+def test_ccd_dense_int8_mask_identical(small_data):
+    """cfg.mask_dtype='int8' is bit-identical to the bf16 default ({0,1}
+    exact in both; the sweeps convert at the operand load — the knob only
+    halves the mask's HBM footprint/traffic)."""
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    outs = []
+    for mdt in ("bfloat16", "int8"):
+        cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                     backend="dense", mask_dtype=mdt)
+        outs.append(ccd_dense_train(R, W0.copy(), H0.copy(), T, cfg))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
 def test_ccd_ell_golden(small_data, ccd_golden):
     R, T = small_data
     W0, H0, Wr, Hr, stats_r = ccd_golden

@@ -119,6 +119,25 @@ def test_hybrid_fused_iters_equivalent(small_data):
         assert abs(a.rmse - b.rmse) < 1e-5
 
 
+def test_hybrid_int8_mask_identical(small_data, ccd_golden):
+    """int8 mask storage is bit-identical to the bf16 mask: {0,1} is exact
+    in both, the sweeps convert at the operand load
+    (cfg.mask_dtype; the knob exists purely to halve the mask's HBM
+    footprint for larger panel budgets)."""
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    outs = []
+    for mdt in ("bfloat16", "int8"):
+        cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                     backend="hybrid", hybrid_dense_cells=100 * R.cols,
+                     hybrid_panel_widths=(32, 16), mask_dtype=mdt)
+        outs.append(ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg))
+    W8, H8, stats8 = outs[1]
+    np.testing.assert_array_equal(outs[0][0], W8)
+    np.testing.assert_array_equal(outs[0][1], H8)
+    _assert_matches(W8, H8, stats8, Wr, Hr, stats_r)
+
+
 def test_hybrid_bf16_residual(small_data, ccd_golden):
     R, T = small_data
     W0, H0, Wr, Hr, stats_r = ccd_golden
