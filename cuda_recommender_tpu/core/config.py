@@ -144,9 +144,11 @@ class Config:
         if self.als_precision not in ("highest", "high", "default"):
             raise ValueError(f"als_precision must be 'highest', 'high' or "
                              f"'default', got {self.als_precision!r}")
-        if self.residual_dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"residual_dtype must be 'float32' or "
-                             f"'bfloat16', got {self.residual_dtype!r}")
+        if self.residual_dtype not in ("float32", "bfloat16",
+                                       "float8_e4m3fn"):
+            raise ValueError(f"residual_dtype must be 'float32', 'bfloat16' "
+                             f"or 'float8_e4m3fn', got "
+                             f"{self.residual_dtype!r}")
         if self.mask_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"mask_dtype must be 'bfloat16' or "
                              f"'int8', got {self.mask_dtype!r}")

@@ -52,6 +52,8 @@ def main():
     m = int(os.environ.get("CRTPU_BENCH_M", 480_189))
     n = int(os.environ.get("CRTPU_BENCH_N", 17_770))
     mask_dtype = os.environ.get("CRTPU_MASK_DTYPE", "bfloat16")
+    widths = tuple(int(w) for w in os.environ.get(
+        "CRTPU_PANEL_WIDTHS", "2048,256").split(",") if w)
     lam = 0.05
     print(f"backend={jax.default_backend()} m={m} n={n} nnz={nnz} k={k} "
           f"budget={cells} mask={mask_dtype}", flush=True)
@@ -62,8 +64,10 @@ def main():
     print(f"synthetic gen/load: {time.perf_counter()-t0:.1f}s "
           f"(actual nnz={R.nnz})", flush=True)
 
+    res_dtype = os.environ.get("CRTPU_RESIDUAL_DTYPE", "bfloat16")
     cfg = Config(k=k, lambda_=lam, backend="hybrid",
-                 residual_dtype="bfloat16", hybrid_dense_cells=cells)
+                 residual_dtype=res_dtype, hybrid_dense_cells=cells,
+                 hybrid_panel_widths=widths, mask_dtype=mask_dtype)
     t0 = time.perf_counter()
     plan = plan_hybrid(R, cfg, materialize_dense=False)
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
@@ -72,7 +76,7 @@ def main():
           f"nnz_light={plan.nnz_light} ({100*plan.nnz_light/R.nnz:.1f}%) "
           f"ell_padded_rows_side={pad_r}", flush=True)
 
-    rdt = jnp.bfloat16
+    rdt = jnp.dtype(res_dtype)
 
     t0 = time.perf_counter()
     from cuda_recommender_tpu.solvers.ccd_hybrid import densify_panels
@@ -142,6 +146,7 @@ def main():
         "vs_round1_ell_80M": round(R.nnz * k / dt / 80e6, 2),
         "rmse_after_5_iters": round(rmse, 4),
         "mask_dtype": mask_dtype,
+        "residual_dtype": res_dtype,
         "t_xfer_s": round(t_xfer, 3),
     }
     print("RESULT " + json.dumps(out), flush=True)

@@ -138,16 +138,22 @@ def test_hybrid_int8_mask_identical(small_data, ccd_golden):
     _assert_matches(W8, H8, stats8, Wr, Hr, stats_r)
 
 
-def test_hybrid_bf16_residual(small_data, ccd_golden):
+@pytest.mark.parametrize("rdt,tol", [("bfloat16", 0.02),
+                                     ("float8_e4m3fn", 0.05)])
+def test_hybrid_lowprec_residual(small_data, ccd_golden, rdt, tol):
+    """Reduced-precision residual storage tracks the golden RMSE trajectory
+    ({0,1}-masked rank-1 updates accumulate storage rounding; bf16 is
+    measured indistinguishable, fp8-e4m3 within noise — the knob halves the
+    residual's HBM footprint again for larger hybrid panel budgets)."""
     R, T = small_data
     W0, H0, Wr, Hr, stats_r = ccd_golden
     cfg = Config(k=K, maxiter=3, lambda_=0.1, backend="hybrid",
                  hybrid_dense_cells=100 * R.cols,
-                 residual_dtype="bfloat16")
+                 residual_dtype=rdt)
     W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
     assert np.isfinite(W).all()
     for a, b in zip(stats, stats_r):
-        assert abs(a.rmse - b.rmse) < 0.02
+        assert abs(a.rmse - b.rmse) < tol
 
 
 def test_hybrid_coo_plan_matches_materialized(small_data):
