@@ -2,17 +2,19 @@
 {"metric", "value", "unit", "vs_baseline", ...}.
 
 Headline metric (round 2): the flagship north-star workload — CCD++ at
-Netflix-100M scale (480k x 17.7k users x items) on the panel-hybrid backend,
-measured on one chip. Round-1 context: the pure padded-ELL path ran this at
-80 M rating-updates/s (gather-bound); the panel decomposition moves ~83% of
-the nnz onto dense MXU/HBM panels.
+Netflix-100M scale (480k x 17.7k users x items, 100M ratings) on the
+panel-hybrid backend, measured on one chip. Round-1 context: the pure
+padded-ELL path ran this at 80 M rating-updates/s (gather-bound). The
+fp8-residual + int8-mask panel stair (2 B/cell) covers 97.2% of the nnz
+in ~13 GB of HBM, leaving only a 2.8% gather tail.
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
 the denominator is the composite speed-of-light model for the panel-hybrid
-on this chip: panels at the measured dense-pass rate (~14 B/cell/rank over
-HBM at 819 GB/s) plus the ELL tail at the measured paired row-gather rate
-(~3.3 ns/row, 1 pair-gather per side per rank). 1.0 = the hardware roofline
-of this decomposition.
+on this chip: panels at the storage-dtype HBM pass cost (see
+panel_bytes_per_cell_per_rank) at 819 GB/s plus the ELL tail at the
+measured paired row-gather rate (~3.3 ns/row, 1 pair-gather per side per
+rank). 1.0 = the hardware roofline of this decomposition (convert passes
+unmodeled, so sub-f32 dtypes understate).
 
 Methodology per the axon-tunnel rules: full-tensor readback fences with the
 transfer cost subtracted; persistent compile cache; dataset disk-cached; one
@@ -30,8 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 HBM_BYTES_PER_S = 819e9            # v5e spec
-PANEL_BYTES_PER_CELL_PER_RANK = 14  # residual pass 6B + v/u-sweep reads 8B
 GATHER_S_PER_ROW = 3.3e-9          # measured paired row-gather issue rate
+
+
+def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int) -> int:
+    """Residual pass (read resid + read mask + write resid) plus two sweep
+    matvec passes (read resid + read mask each). bf16+bf16 -> 14 B;
+    fp8+int8 -> 7 B. Convert passes are NOT modeled — the measured ratio
+    therefore understates true hardware efficiency for sub-f32 dtypes."""
+    return 4 * residual_bytes + 3 * mask_bytes
 
 
 def main() -> None:
@@ -56,27 +65,35 @@ def main() -> None:
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        # The literal north-star: Netflix-100M dims AND nnz. 2.7e9-cell
-        # panel budget = the largest that fits HBM with the bf16 mask
-        # (residual+mask 4 B/cell ≈ 10.8 GB + ELL tail + factors);
-        # measured 416 M updates/s vs 304 M at the 2e9 budget — the tail's
-        # ~3.3 ns/gathered-row dwarfs the ~17 ps/cell marginal panel cost,
-        # so coverage is worth nearly any in-budget cell.
+        # The literal north-star: Netflix-100M dims AND nnz. fp8 residual
+        # + int8 mask = 2 B/cell, so a 6.5e9-cell panel stair (~13 GB)
+        # covers 97.2% of the nnz — the ~3.3 ns/gathered-row ELL tail
+        # dwarfs the ~17-19 ps/cell marginal panel cost, so coverage is
+        # worth nearly any in-budget cell. Measured ladder (results/
+        # hybrid_netflix_100m_r2b.jsonl): 2.7e9 bf16 416 M -> 3.2e9 bf16
+        # 465 M -> 6.5e9 fp8+int8 663 M updates/s, equal-or-better RMSE
+        # at 5 iters (0.1585 vs 0.1757 — storage quantization is noise
+        # next to the trajectory).
         m, n, nnz, k, iters = 480_189, 17_770, 100_000_000, 40, 3
-        budget = 2_700_000_000
+        budget = 6_500_000_000
+        rdt_name, mdt_name = "float8_e4m3fn", "int8"
+        widths = (4096, 1024)
     else:                               # CPU smoke fallback (tiny)
         m, n, nnz, k, iters = 6_040, 3_706, 900_000, 10, 2
         budget = 2_000 * 3_706
+        rdt_name, mdt_name = "bfloat16", "bfloat16"
+        widths = (2048, 256)
     lam = 0.05
 
     R, T = synthetic_cached(m, n, nnz, seed=1, test_fraction=0.02)
 
     cfg = Config(k=k, lambda_=lam, backend="hybrid",
-                 residual_dtype="bfloat16", hybrid_dense_cells=budget)
+                 residual_dtype=rdt_name, mask_dtype=mdt_name,
+                 hybrid_dense_cells=budget, hybrid_panel_widths=widths)
     plan = plan_hybrid(R, cfg, materialize_dense=False)
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
-    rdt = jnp.bfloat16
-    Rds, masks = densify_panels(plan, rdt)
+    rdt = jnp.dtype(rdt_name)
+    Rds, masks = densify_panels(plan, rdt, mask_dtype=mdt_name)
 
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
@@ -116,8 +133,10 @@ def main() -> None:
     panel_cells = sum((r1 - r0) * w for r0, r1, w in plan.panels)
     gath_rows = (sum(b.idx.size for b in rows.buckets)
                  + sum(b.idx.size for b in cols.buckets))
+    pbytes = panel_bytes_per_cell_per_rank(
+        jnp.dtype(rdt_name).itemsize, jnp.dtype(mdt_name).itemsize)
     roofline_iter = k * (
-        panel_cells * PANEL_BYTES_PER_CELL_PER_RANK / HBM_BYTES_PER_S
+        panel_cells * pbytes / HBM_BYTES_PER_S
         + gath_rows * GATHER_S_PER_ROW)
     vs_sol = roofline_iter / dt if dt else 0.0
 
@@ -135,15 +154,17 @@ def main() -> None:
                        f"nnz={R.nnz})" if on_tpu else
                        f"synthetic ml1m-scale ({m}x{n}, nnz={R.nnz})",
             "backend": "hybrid (dense panel stair + paired-gather ELL tail)",
+            "residual_dtype": rdt_name, "mask_dtype": mdt_name,
             "k": k, "outer_iter_s": round(dt, 3),
             "panels": [list(p) for p in plan.panels],
             "nnz_light_frac": round(plan.nnz_light / R.nnz, 4),
             "rmse_after_5_iters": round(rmse, 4),
             "vs_round1_ell_80M_upds": (round(R.nnz * k / dt / 80e6, 2)
                                        if on_tpu else None),
-            "baseline_def": "composite roofline: panels 14 B/cell/rank @ "
-                            "819 GB/s + ELL tail @ 3.3 ns/gathered-row "
-                            "(reference publishes no numbers)",
+            "baseline_def": f"composite roofline: panels {pbytes} "
+                            "B/cell/rank @ 819 GB/s + ELL tail @ "
+                            "3.3 ns/gathered-row (reference publishes no "
+                            "numbers; convert passes unmodeled)",
             "device": jax.default_backend(),
         },
     }))
