@@ -74,7 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "-q 1 also prints per-rank residual RMSE")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--residual-dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "float8_e4m3fn"])
+    p.add_argument("--mask-dtype", default="bfloat16",
+                   choices=["bfloat16", "int8"],
+                   help="panel/dense mask storage ({0,1} exact in both; "
+                        "int8 halves its HBM footprint)")
+    p.add_argument("--hybrid-cells", type=int, default=None, metavar="N",
+                   help="hybrid panel-stair cell budget "
+                        "(default Config.hybrid_dense_cells)")
     # io
     p.add_argument("data_dir", nargs="?", default=None)
     p.add_argument("--dataset", default=None,
@@ -112,12 +119,15 @@ def main(argv=None) -> int:
         threads=args.threads, backend=Backend(args.backend),
         golden=args.golden, seed=args.seed,
         residual_dtype=args.residual_dtype, data_dir=args.data_dir,
+        mask_dtype=args.mask_dtype,
         fused_outer_iters=args.fused_iters,
         phase_timing=args.phase_timing,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_file=args.metrics_file,
     )
+    if args.hybrid_cells is not None:
+        cfg.hybrid_dense_cells = int(args.hybrid_cells)
     R, T = load_data(args)
     print(f"[info] loaded {R.rows} x {R.cols}, nnz={R.nnz}, "
           f"test nnz={T.nnz}", flush=True)

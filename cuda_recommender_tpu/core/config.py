@@ -111,9 +111,9 @@ class Config:
     hybrid_panel_widths: tuple = (2048, 256)
     #: Panel mask storage dtype: "bfloat16" (default) or "int8". {0,1} is
     #: exact in both, so numerics are identical; int8 halves the mask's HBM
-    #: footprint and sweep read traffic (14 -> 11 B/cell/rank), buying a
-    #: ~33% larger in-HBM panel budget — XLA fuses the int8->f32 convert
-    #: into the mask matvecs' operand loads.
+    #: footprint, buying a ~33% larger in-HBM panel budget. Measured: at an
+    #: EQUAL budget int8 is ~4% slower (the convert pass costs more than
+    #: the bandwidth it saves) — the knob pays via budget, not bandwidth.
     mask_dtype: str = "bfloat16"
 
     # --- io ---

@@ -285,12 +285,19 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
 
 def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                            residual_dtype=jnp.float32, jit_compile=True):
-    """One outer iteration over all k ranks (lax.fori_loop), all parts."""
+    """One outer iteration over all k ranks (lax.fori_loop), all parts.
+
+    Sweep matvec operands are always f32 (storage dtypes upcast at the
+    operand load). Negative result, measured at Netflix-100M fp8+int8:
+    bf16 operands gave NO speedup (6.23 vs 6.03 s/iter — the convert pass
+    count is unchanged) and the ~2^-9 operand rounding amplified through
+    the rank recursion to >10% on weakly-determined factors."""
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
     panels = plan.panels
     lam_ = jnp.float32(lam)
     have_light = plan.nnz_light > 0
     rdt = residual_dtype
+    cdt = jnp.float32
     m = plan.row_nnz.shape[0]
     n = plan.col_nnz.shape[0]
     f32 = jnp.float32
@@ -328,10 +335,12 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 g = jnp.zeros(n, f32)
                 h = jnp.zeros(n, f32)
                 for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                    gp = jnp.einsum("m,mn->n", u[r0:r1], Rd.astype(f32),
+                    gp = jnp.einsum("m,mn->n", u[r0:r1].astype(cdt),
+                                    Rd.astype(cdt),
                                     preferred_element_type=f32)
-                    hp = jnp.einsum("m,mn->n", u[r0:r1] * u[r0:r1],
-                                    mask.astype(f32),
+                    hp = jnp.einsum("m,mn->n",
+                                    (u[r0:r1] * u[r0:r1]).astype(cdt),
+                                    mask.astype(cdt),
                                     preferred_element_type=f32)
                     g = g.at[:w].add(gp)
                     h = h.at[:w].add(hp)
@@ -372,10 +381,11 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 gu = jnp.zeros(m, f32)
                 hu = jnp.zeros(m, f32)
                 for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                    gp = jnp.einsum("mn,n->m", Rd.astype(f32), v[:w],
+                    gp = jnp.einsum("mn,n->m", Rd.astype(cdt),
+                                    v[:w].astype(cdt),
                                     preferred_element_type=f32)
-                    hp = jnp.einsum("mn,n->m", mask.astype(f32),
-                                    v[:w] * v[:w],
+                    hp = jnp.einsum("mn,n->m", mask.astype(cdt),
+                                    (v[:w] * v[:w]).astype(cdt),
                                     preferred_element_type=f32)
                     gu = gu.at[r0:r1].add(gp)
                     hu = hu.at[r0:r1].add(hp)
