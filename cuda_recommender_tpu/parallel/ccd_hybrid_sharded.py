@@ -19,9 +19,11 @@ sharded == single-device numerically (tests/test_hybrid_sharded.py).
 
 Multi-host note: this train wrapper device_puts GLOBAL host arrays, which is
 a single-process (1-host, N-chip) pattern. Under real multi-process
-jax.distributed, feed each host's blocks with multihost.assemble_global the
-way the ELL path's worker does (tests/multihost_worker.py) — the shard_map
-step itself is process-count-agnostic.
+jax.distributed, feed each host's panel/ELL row blocks with
+multihost.assemble_global (factors replicated per device) — exercised for
+real by tests/multihost_hybrid_worker.py: 2 OS processes x 4 devices, Gloo
+psum per half-sweep, result matches the single-process sharded run
+(tests/test_multihost.py::test_two_process_hybrid_matches_single_process).
 """
 
 from __future__ import annotations

@@ -52,6 +52,53 @@ def test_assemble_global_wrong_count():
         raise AssertionError("expected ValueError")
 
 
+def test_two_process_hybrid_matches_single_process(tmp_path):
+    """Same 2-real-process discipline for the panel-hybrid flagship path:
+    per-process host-local panel/ELL row blocks, replicated factors, Gloo
+    psum per half-sweep; the replicated result must match the
+    single-process 8-device sharded hybrid run."""
+    import multihost_hybrid_worker as mw
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_hybrid_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"hybrid worker failed:\n{out}"
+
+    from cuda_recommender_tpu.core.init import init_factors_np
+    from cuda_recommender_tpu.data.datasets import synthetic
+    from cuda_recommender_tpu.parallel.ccd_hybrid_sharded import (
+        ccd_hybrid_train_sharded)
+    from cuda_recommender_tpu.solvers.ccd_hybrid import plan_hybrid
+
+    cfg = mw.make_cfg()
+    R, T = synthetic(m=mw.M, n=mw.N, nnz=mw.NNZ, seed=mw.SEED)
+    W0, H0 = init_factors_np(mw.K, mw.M, mw.N, seed=0)
+    W1, H1, _ = ccd_hybrid_train_sharded(R, W0.copy(), H0.copy(), T, cfg,
+                                         make_mesh())
+
+    plan = plan_hybrid(R, cfg, num_shards=8, materialize_dense=False)
+    z = np.load(tmp_path / "hybrid_result.npz")
+    W2 = z["W"][:, plan.user_pos]          # sorted order -> entity order
+    H2 = z["H"][:, plan.item_pos]
+    # cross-process Gloo psum reduction order differs in the last ulp and
+    # compounds through the rank recursion — same bar as dryrun_multichip
+    np.testing.assert_allclose(W1, W2, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(H1, H2, atol=2e-5, rtol=1e-4)
+
+
 def test_two_process_distributed_matches_single_process(tmp_path):
     """Spawn 2 real OS processes, each owning 4 CPU devices, joined via
     jax.distributed.initialize; run 2 sharded CCD++ outer iterations with
