@@ -1,11 +1,12 @@
 """Multi-host execution tests.
 
 Two layers: single-process unit tests of the plumbing on the 8-virtual-device
-CPU mesh, and a REAL multi-process test that spawns two worker processes
-(4 virtual devices each), runs ``jax.distributed.initialize`` + Gloo
-cross-process collectives through the production shard_map CCD++ step
-(tests/multihost_worker.py), and asserts the reassembled factors are
-bit-identical to the single-process sharded run."""
+CPU mesh, and REAL multi-process tests that spawn two worker processes
+(4 virtual devices each), run ``jax.distributed.initialize`` + Gloo
+cross-process collectives through the production shard_map steps of all
+three sharded paths — ELL CCD++ (multihost_worker.py), panel-hybrid CCD++
+(multihost_hybrid_worker.py) and ALS (multihost_als_worker.py) — and assert
+the reassembled factors match the single-process sharded runs."""
 
 import os
 import socket
@@ -97,6 +98,60 @@ def test_two_process_hybrid_matches_single_process(tmp_path):
     # compounds through the rank recursion — same bar as dryrun_multichip
     np.testing.assert_allclose(W1, W2, atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(H1, H2, atol=2e-5, rtol=1e-4)
+
+
+def test_two_process_als_matches_single_process(tmp_path):
+    """ALS across 2 real processes: one cross-process all_gather of the
+    opposite factor table per half-iteration (Gloo); reassembled slot
+    shards must equal the single-process 8-device sharded ALS run."""
+    import multihost_als_worker as mw
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_als_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"als worker failed:\n{out}"
+
+    from cuda_recommender_tpu.core.config import Config
+    from cuda_recommender_tpu.core.init import init_factors_np
+    from cuda_recommender_tpu.data.datasets import synthetic
+    from cuda_recommender_tpu.data.ell import build_ell_pair
+    from cuda_recommender_tpu.parallel.als_ell_sharded import (
+        als_ell_train_sharded)
+
+    R, T = synthetic(m=mw.M, n=mw.N, nnz=mw.NNZ, seed=mw.SEED)
+    ell = build_ell_pair(R, min_width=mw.MIN_WIDTH, num_shards=8)
+    W0, H0 = init_factors_np(mw.K, mw.M, mw.N, seed=0, entity_major=True)
+    cfg = Config(solver="als", k=mw.K, maxiter=mw.ITERS, lambda_=mw.LAM,
+                 backend="ell", als_min_width=mw.MIN_WIDTH)
+    W1, H1, _ = als_ell_train_sharded(R, W0.copy(), H0.copy(), T, cfg,
+                                      make_mesh())
+
+    Wg = np.zeros((ell.rows_side.n_slots, mw.K), np.float32)
+    Hg = np.zeros((ell.cols_side.n_slots, mw.K), np.float32)
+    for pid in range(2):
+        z = np.load(tmp_path / f"als_shards_{pid}.npz")
+        for key in z.files:
+            name, start = key.rsplit("_", 1)
+            tgt = Wg if name == "W" else Hg
+            blk = z[key]
+            tgt[int(start):int(start) + blk.shape[0]] = blk
+    np.testing.assert_allclose(W1, Wg[ell.rows_side.slot_of_entity],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(H1, Hg[ell.cols_side.slot_of_entity],
+                               atol=2e-5, rtol=1e-4)
 
 
 def test_two_process_distributed_matches_single_process(tmp_path):
