@@ -74,10 +74,17 @@ def time_step(R, k, lam, precision):
 
 
 def main():
-    k, lam = 40, 0.1
+    k, lam = (int(sys.argv[1]) if len(sys.argv) > 1 else 40), 0.1
     R, _T = synthetic(m=138_493, n=26_744, nnz=20_000_000, seed=1,
                       test_fraction=0.02)
     dt_highest = time_step(R, k, lam, "highest")
+    if k != 40:          # custom-rank timing row (e.g. the k=128 north-star)
+        print("RESULT " + json.dumps({
+            "workload": f"als ml20M k={k} (batch-last GJ)",
+            "iter_s_highest": round(dt_highest, 4),
+            "ratings_per_s_M": round(R.nnz / dt_highest / 1e6, 1),
+        }), flush=True)
+        return
     dt_high = time_step(R, k, lam, "high")
 
     # golden validation of precision=high on real TPU matmuls

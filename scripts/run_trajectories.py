@@ -97,6 +97,44 @@ def main():
     print(f"CCD done: golden W {gw.message()} H {gh.message()} "
           f"final rmse {sc[-1].rmse:.4f} vs {sg[-1].rmse:.4f}", flush=True)
 
+    # 2b) hybrid compressed-storage configs vs golden — full-convergence
+    # evidence for the flagship dtype choices. MEASURED VERDICTS (this
+    # script's committed artifacts): bf16 residual + int8 mask tracks the
+    # golden trajectory and passes golden_compare (the bench.py headline
+    # config); fp8-e4m3 residual STALLS at a visibly worse plateau at 15
+    # iters (the residual's ~6% storage quantization feeds back through
+    # the rank recursion) — fp8 is therefore opt-in, not the default.
+    for tag, rdt in (("bf16_int8", "bfloat16"),
+                     ("fp8", "float8_e4m3fn")):
+        cfg_h = Config(k=k, maxiter=maxiter, lambda_=lam, backend="hybrid",
+                       residual_dtype=rdt, mask_dtype="int8",
+                       hybrid_dense_cells=2000 * R.cols)
+        t0 = time.perf_counter()
+        Wh, Hh, sh = get_train_fn(cfg_h.solver, cfg_h.backend)(
+            R, W0.copy(), H0.copy(), T, cfg_h)
+        t_h = time.perf_counter() - t0
+        gwh = golden_compare(Wh, Wg, atol=1e-3)
+        ghh = golden_compare(Hh, Hg, atol=1e-3)
+        out = f"results/rmse_trajectory_ml1m_hybrid_{tag}.jsonl"
+        with open(out, "w") as f:
+            for a, b in zip(sh, sg):
+                f.write(json.dumps({"oiter": a.oiter,
+                                    "rmse_compiled": round(a.rmse, 6),
+                                    "rmse_golden": round(b.rmse, 6)}) + "\n")
+            f.write(json.dumps({
+                "summary": True, "solver": "ccd",
+                "backend": f"hybrid {rdt} residual + int8 mask",
+                "device": backend, "k": k, "lambda": lam,
+                "maxiter": maxiter,
+                "dataset": "ml1m_like(seed=0) via convert->binfmt",
+                "golden_W": gwh.message(), "golden_H": ghh.message(),
+                "max_abs_rmse_gap": round(max(
+                    abs(a.rmse - b.rmse) for a, b in zip(sh, sg)), 6),
+                "compiled_train_s": round(t_h, 2)}) + "\n")
+        print(f"hybrid-{tag} done: golden W {gwh.message()} H "
+              f"{ghh.message()} final rmse {sh[-1].rmse:.4f} vs "
+              f"{sg[-1].rmse:.4f}", flush=True)
+
     # 3) ALS: compiled ELL vs golden
     cfg_a = Config(solver="als", k=k, maxiter=maxiter, lambda_=lam)
     bk_a = cfg_a.resolve_backend(R.rows, R.cols)
