@@ -32,6 +32,12 @@ def main(argv=None) -> int:
                         "relevant (rating-MF retrieves by predicted rating, "
                         "so 'was rated at all' would measure popularity, "
                         "which rating factors do not encode)")
+    p.add_argument("--rank", type=int, default=16,
+                   help="factor rank when training / generating factors")
+    p.add_argument("--random-factors", action="store_true",
+                   help="skip training and recall: seeded Gaussian factors, "
+                        "pure-QPS mode for large-catalog scaling runs "
+                        "(retrieval cost is independent of factor values)")
     args = p.parse_args(argv)
 
     import jax
@@ -61,9 +67,14 @@ def main(argv=None) -> int:
                 f"model dims ({W.shape[0]} users x {H.shape[0]} items) do "
                 f"not match --dataset ({R.rows} x {R.cols}); recall@k would "
                 f"be meaningless — pass the matching --dataset spec/dir")
+    elif args.random_factors:
+        rng = np.random.default_rng(0)
+        W = rng.standard_normal((R.rows, args.rank)).astype(np.float32)
+        H = rng.standard_normal((R.cols, args.rank)).astype(np.float32)
     else:
-        W0, H0 = init_factors_np(16, R.rows, R.cols, seed=0, entity_major=True)
-        cfg = Config(solver="als", k=16, maxiter=4, lambda_=0.05,
+        W0, H0 = init_factors_np(args.rank, R.rows, R.cols, seed=0,
+                                 entity_major=True)
+        cfg = Config(solver="als", k=args.rank, maxiter=4, lambda_=0.05,
                      fused_outer_iters=4)
         W, H, _ = als_ell_train(R, W0, H0, T, cfg)
 
@@ -104,22 +115,26 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     qps = args.queries / dt
 
-    # recall@k on a sample of users, relevance = high-rated held-out items
-    hi = T.val >= args.rel_threshold
-    sample = np.unique(T.row_idx[hi])[:512]
-    relevant = [T.col_idx[hi][T.row_idx[hi] == u] for u in sample]
-    exclude = {int(u): R.csr_idx[R.csr_ptr[u]:R.csr_ptr[u + 1]]
-               for u in sample}
-    _, items = topk_mips(W, H, sample, topk=args.topk, chunk=args.chunk,
-                         exclude=exclude, int8=args.int8)
-    rec = recall_at_k(items, relevant)
+    if args.random_factors:
+        rec = None          # untrained factors — recall would be noise
+    else:
+        # recall@k on a sample of users, relevance = high-rated held-out items
+        hi = T.val >= args.rel_threshold
+        sample = np.unique(T.row_idx[hi])[:512]
+        relevant = [T.col_idx[hi][T.row_idx[hi] == u] for u in sample]
+        exclude = {int(u): R.csr_idx[R.csr_ptr[u]:R.csr_ptr[u + 1]]
+                   for u in sample}
+        _, items = topk_mips(W, H, sample, topk=args.topk, chunk=args.chunk,
+                             exclude=exclude, int8=args.int8)
+        rec = recall_at_k(items, relevant)
 
     print(json.dumps({
         "metric": f"mips_top{args.topk}_qps",
         "value": round(qps, 1),
         "unit": "queries/s/chip",
-        "vs_baseline": round(rec, 4),
-        "detail": {"recall_at_k": round(rec, 4), "topk": args.topk,
+        "vs_baseline": 0.0 if rec is None else round(rec, 4),
+        "detail": {"recall_at_k": None if rec is None else round(rec, 4),
+                   "topk": args.topk,
                    "items": n, "rank": k, "batch": args.batch,
                    "int8": bool(args.int8),
                    "note": "vs_baseline field carries recall@k (reference "

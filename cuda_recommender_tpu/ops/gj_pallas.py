@@ -28,15 +28,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_S = 128
 
+# Scoped VMEM is 16 MB. In the pipelined kernel the A block is
+# double-buffered and the augmented scratch is single — at k=128 with
+# 128-lane blocks that plans 24.75 MB and the compile aborts. Mosaic also
+# requires the lane (batch) block to stay a multiple of 128, so the fix for
+# large k is not a narrower block: it is the manual-DMA variant below, which
+# keeps A in HBM and single-buffers one augmented scratch (~8.7 MB at k=128).
+_VMEM_BUDGET = 12 * 1024 * 1024
 
-def _gj_kernel(A_ref, b_ref, x_ref, M_ref):
-    # A_ref (k, k, B): A[r, c, s] — batch s on lanes; b_ref (k, B);
-    # M_ref VMEM scratch (k, k+1, B) holds the augmented systems. Dynamic
-    # row/column selection happens on the REF (pl.ds on non-lane axes —
-    # value-level dynamic_slice is not lowerable on TPU Pallas).
-    k = A_ref.shape[0]
-    M_ref[:, :k, :] = A_ref[:]
-    M_ref[:, k:k + 1, :] = b_ref[:][:, None, :]
+
+def _pipelined_fits(k: int, bs: int) -> bool:
+    return (2 * k * k + k * (k + 1)) * bs * 4 <= _VMEM_BUDGET
+
+
+def _eliminate(M_ref):
+    """Run all k Gauss-Jordan elimination steps on the augmented VMEM
+    scratch M_ref (k, k+1, B), leaving the solution in column k. Dynamic
+    row/column selection happens on the REF (pl.ds on non-lane axes —
+    value-level dynamic_slice is not lowerable on TPU Pallas)."""
+    k = M_ref.shape[0]
 
     def body(i, _):
         row = M_ref[pl.ds(i, 1)]                     # (1, k+1, B)
@@ -48,12 +58,37 @@ def _gj_kernel(A_ref, b_ref, x_ref, M_ref):
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
+
+
+def _gj_kernel(A_ref, b_ref, x_ref, M_ref):
+    # A_ref (k, k, B): A[r, c, s] — batch s on lanes; b_ref (k, B);
+    # M_ref VMEM scratch (k, k+1, B) holds the augmented systems.
+    k = A_ref.shape[0]
+    M_ref[:, :k, :] = A_ref[:]
+    M_ref[:, k:k + 1, :] = b_ref[:][:, None, :]
+    _eliminate(M_ref)
     x_ref[:] = M_ref[:, k, :]                        # (k, B)
+
+
+def _gj_kernel_dma(A_hbm, b_ref, x_ref, M_ref, sem):
+    # Large-k variant: A stays in HBM (memory_space=ANY); each grid step
+    # DMAs its own batch block into the single augmented scratch, so the
+    # only VMEM-resident copy of the (k, k, B) block is M_ref itself.
+    k = M_ref.shape[0]
+    bs = M_ref.shape[2]
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(A_hbm.at[:, :, pl.ds(i * bs, bs)],
+                               M_ref.at[:, :k, :], sem)
+    cp.start()
+    cp.wait()
+    M_ref[:, k:k + 1, :] = b_ref[:][:, None, :]
+    _eliminate(M_ref)
+    x_ref[:] = M_ref[:, k, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_s"))
 def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
-                       block_s: int = BLOCK_S):
+                       block_s: int | None = None):
     """Batch-LAST batched SPD solve: A_t (k, k, S), b_t (k, S) -> x_t (k, S).
 
     This is the native kernel layout (batch on lanes). Producing the gram in
@@ -62,6 +97,8 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
     per ALS side through HBM before the solve even starts. S is padded to a
     block multiple with identity systems (x = 0 for the pad)."""
     k, _, S = A_t.shape
+    if block_s is None:
+        block_s = BLOCK_S
     pad = (-S) % block_s
     if pad:
         eye_t = jnp.broadcast_to(jnp.eye(k, dtype=A_t.dtype)[:, :, None],
@@ -69,30 +106,49 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
         A_t = jnp.concatenate([A_t, eye_t], axis=2)
         b_t = jnp.concatenate([b_t, jnp.zeros((k, pad), b_t.dtype)], axis=1)
     Sp = S + pad
-    x_t = pl.pallas_call(
-        _gj_kernel,
-        grid=(Sp // block_s,),
-        in_specs=[
-            pl.BlockSpec((k, k, block_s), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block_s), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((k, block_s), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, Sp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, k + 1, block_s), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Sp * k * k * (k + 1),
-            bytes_accessed=Sp * (k * k + 2 * k) * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(A_t.astype(jnp.float32), b_t.astype(jnp.float32))
+    cost = pl.CostEstimate(flops=2 * Sp * k * k * (k + 1),
+                           bytes_accessed=Sp * (k * k + 2 * k) * 4,
+                           transcendentals=0)
+    if _pipelined_fits(k, block_s):
+        x_t = pl.pallas_call(
+            _gj_kernel,
+            grid=(Sp // block_s,),
+            in_specs=[
+                pl.BlockSpec((k, k, block_s), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, block_s), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, block_s), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, Sp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((k, k + 1, block_s), jnp.float32)],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(A_t.astype(jnp.float32), b_t.astype(jnp.float32))
+    else:
+        x_t = pl.pallas_call(
+            _gj_kernel_dma,
+            grid=(Sp // block_s,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((k, block_s), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, block_s), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, Sp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((k, k + 1, block_s), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(A_t.astype(jnp.float32), b_t.astype(jnp.float32))
     return x_t[:, :S]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_s"))
-def gj_solve_pallas(A, b, *, interpret: bool = False, block_s: int = BLOCK_S):
+def gj_solve_pallas(A, b, *, interpret: bool = False,
+                    block_s: int | None = None):
     """Batch-first convenience wrapper: A (S, k, k), b (S, k) -> x (S, k)."""
     A_t = jnp.transpose(A, (1, 2, 0))
     b_t = jnp.transpose(b, (1, 0))
