@@ -76,9 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--residual-dtype", default="float32",
                    choices=["float32", "bfloat16", "float8_e4m3fn"])
     p.add_argument("--mask-dtype", default="bfloat16",
-                   choices=["bfloat16", "int8"],
+                   choices=["bfloat16", "int8", "nan"],
                    help="panel/dense mask storage ({0,1} exact in both; "
-                        "int8 halves its HBM footprint)")
+                        "int8 halves its HBM footprint; 'nan' stores no "
+                        "mask — unobserved cells are NaN in the residual)")
     p.add_argument("--hybrid-cells", type=int, default=None, metavar="N",
                    help="hybrid panel-stair cell budget "
                         "(default Config.hybrid_dense_cells)")

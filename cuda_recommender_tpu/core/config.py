@@ -109,11 +109,17 @@ class Config:
     #: panel always spans all items. The planner grid-searches the user
     #: boundaries per width to maximize covered nnz under the cell budget.
     hybrid_panel_widths: tuple = (2048, 256)
-    #: Panel mask storage dtype: "bfloat16" (default) or "int8". {0,1} is
-    #: exact in both, so numerics are identical; int8 halves the mask's HBM
-    #: footprint, buying a ~33% larger in-HBM panel budget. Measured: at an
-    #: EQUAL budget int8 is ~4% slower (the convert pass costs more than
-    #: the bandwidth it saves) — the knob pays via budget, not bandwidth.
+    #: Panel mask storage dtype: "bfloat16" (default), "int8", or "nan".
+    #: {0,1} is exact in bfloat16/int8, so numerics are identical; int8
+    #: halves the mask's HBM footprint, buying a ~33% larger in-HBM panel
+    #: budget. Measured: at an EQUAL budget int8 is ~4% slower (the convert
+    #: pass costs more than the bandwidth it saves) — the knob pays via
+    #: budget, not bandwidth. "nan" stores NO mask array at all: unobserved
+    #: panel cells hold a NaN sentinel in the residual itself (NaN + delta
+    #: = NaN keeps them inert through updates; sweeps read the mask as
+    #: isnan(Rd) in-register), cutting panel storage to residual-only —
+    #: a bf16 residual fits a 6.5e9-cell stair (~97% Netflix-100M
+    #: coverage) in 13 GB with bit-exact {0,1} mask numerics.
     mask_dtype: str = "bfloat16"
 
     # --- io ---
@@ -149,9 +155,9 @@ class Config:
             raise ValueError(f"residual_dtype must be 'float32', 'bfloat16' "
                              f"or 'float8_e4m3fn', got "
                              f"{self.residual_dtype!r}")
-        if self.mask_dtype not in ("bfloat16", "int8"):
-            raise ValueError(f"mask_dtype must be 'bfloat16' or "
-                             f"'int8', got {self.mask_dtype!r}")
+        if self.mask_dtype not in ("bfloat16", "int8", "nan"):
+            raise ValueError(f"mask_dtype must be 'bfloat16', 'int8' or "
+                             f"'nan', got {self.mask_dtype!r}")
         self.hybrid_panel_widths = tuple(int(w)
                                          for w in self.hybrid_panel_widths)
         if any(w <= 0 for w in self.hybrid_panel_widths):

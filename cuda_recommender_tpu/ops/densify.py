@@ -29,8 +29,13 @@ DENSIFY_CHUNK = 1 << 20
 
 def densify_coo(lr, lc, lv, rows: int, width: int, residual_dtype,
                 mask_dtype, *, chunk: int = DENSIFY_CHUNK):
-    """Scatter COO (lr, lc, lv) into a zero-initialized (rows, width)
-    residual of ``residual_dtype`` plus a {0,1} mask of ``mask_dtype``.
+    """Scatter COO (lr, lc, lv) into a (rows, width) residual of
+    ``residual_dtype`` plus a {0,1} mask of ``mask_dtype``.
+
+    With ``mask_dtype="nan"`` there is NO mask array: the residual is
+    initialized to NaN and observed cells overwrite it, so membership lives
+    in the sentinel (``Md`` returns None). Otherwise the residual is
+    zero-initialized and a separate mask is scattered.
 
     Traceable (call under jit). COO pairs must be unique — the scatters
     pass ``unique_indices=True``, which is load-bearing: without it the TPU
@@ -39,9 +44,14 @@ def densify_coo(lr, lc, lv, rows: int, width: int, residual_dtype,
     uniqueness holds; ``mode="drop"`` discards them.
     """
     rdt = jnp.dtype(residual_dtype)
-    mdt = jnp.dtype(mask_dtype)
-    Rd = jnp.zeros((rows, width), rdt)
-    Md = jnp.zeros((rows, width), mdt)
+    nan_mode = mask_dtype == "nan"
+    if nan_mode:
+        Rd = jnp.full((rows, width), jnp.nan, rdt)
+        Md = None
+    else:
+        mdt = jnp.dtype(mask_dtype)
+        Rd = jnp.zeros((rows, width), rdt)
+        Md = jnp.zeros((rows, width), mdt)
     n = lr.shape[0]
     if n == 0:
         return Rd, Md
@@ -56,12 +66,22 @@ def densify_coo(lr, lc, lv, rows: int, width: int, residual_dtype,
         lc = jnp.concatenate([lc, jnp.zeros(pad, jnp.int32)])
         lv = jnp.concatenate([lv, jnp.zeros(pad, lv.dtype)])
 
+    def slices(i):
+        s = i * chunk
+        return (jax.lax.dynamic_slice(lr, (s,), (chunk,)),
+                jax.lax.dynamic_slice(lc, (s,), (chunk,)),
+                jax.lax.dynamic_slice(lv, (s,), (chunk,)))
+
+    if nan_mode:
+        def body(i, Rd):
+            li, ci, vi = slices(i)
+            return Rd.at[li, ci].set(vi.astype(rdt), unique_indices=True,
+                                     mode="drop")
+        return jax.lax.fori_loop(0, nch, body, Rd), None
+
     def body(i, RM):
         Rd, Md = RM
-        s = i * chunk
-        li = jax.lax.dynamic_slice(lr, (s,), (chunk,))
-        ci = jax.lax.dynamic_slice(lc, (s,), (chunk,))
-        vi = jax.lax.dynamic_slice(lv, (s,), (chunk,))
+        li, ci, vi = slices(i)
         Rd = Rd.at[li, ci].set(vi.astype(rdt), unique_indices=True,
                                mode="drop")
         Md = Md.at[li, ci].set(jnp.ones((), mdt), unique_indices=True,

@@ -49,7 +49,7 @@ from .mesh import AXIS
 
 def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                              maxinneriter: int, residual_dtype=jnp.float32,
-                             axis: str = AXIS):
+                             axis: str = AXIS, nan_mask: bool = False):
     rows_g, cols_g = plan.ell.rows_side, plan.ell.cols_side
     rows, cols = rows_g.local_view(), cols_g.local_view()
     panels = plan.panels
@@ -66,6 +66,16 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                    lsu, lsi, eosr, eosi):
         d = jax.lax.axis_index(axis)
         lsu_, lsi_ = lsu[0], lsi[0]
+        if nan_mask:
+            masks = (None,) * len(panels)
+
+        def panel_view(Rd, mask):
+            """f32 (residual, mask) operands for the sweep einsums."""
+            if mask is None:
+                isn = jnp.isnan(Rd)
+                return (jnp.where(isn, jnp.float32(0), Rd.astype(f32)),
+                        (~isn).astype(f32))
+            return Rd.astype(f32), mask.astype(f32)
 
         def uslots(x):         # (m,) replicated -> LOCAL rows-side slot vals
             return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[eosr]
@@ -94,8 +104,11 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 lr = (r1 - r0) // N
                 delta = (jnp.outer(panel_rows(u_old, r0, lr), v_old[:w])
                          - jnp.outer(panel_rows(u_pend, r0, lr), v_pend[:w]))
-                new_Rds.append(
-                    Rd + (delta * mask.astype(delta.dtype)).astype(rdt))
+                if mask is None:     # NaN sentinel absorbs the delta
+                    new_Rds.append(Rd + delta.astype(rdt))
+                else:
+                    new_Rds.append(
+                        Rd + (delta * mask.astype(delta.dtype)).astype(rdt))
             Rds = tuple(new_Rds)
 
             u, v = u_old, v_old
@@ -108,9 +121,10 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
                     lr = (r1 - r0) // N
                     ul = panel_rows(u, r0, lr)
-                    gp = jnp.einsum("m,mn->n", ul, Rd.astype(f32),
+                    Rf, Mf = panel_view(Rd, mask)
+                    gp = jnp.einsum("m,mn->n", ul, Rf,
                                     preferred_element_type=f32)
-                    hp = jnp.einsum("m,mn->n", ul * ul, mask.astype(f32),
+                    hp = jnp.einsum("m,mn->n", ul * ul, Mf,
                                     preferred_element_type=f32)
                     g = g.at[:w].add(gp)
                     h = h.at[:w].add(hp)
@@ -145,9 +159,10 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 hu = jnp.zeros(m, f32)
                 for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
                     lr = (r1 - r0) // N
-                    gp = jnp.einsum("mn,n->m", Rd.astype(f32), v[:w],
+                    Rf, Mf = panel_view(Rd, mask)
+                    gp = jnp.einsum("mn,n->m", Rf, v[:w],
                                     preferred_element_type=f32)
-                    hp = jnp.einsum("mn,n->m", mask.astype(f32),
+                    hp = jnp.einsum("mn,n->m", Mf,
                                     v[:w] * v[:w], preferred_element_type=f32)
                     off = r0 + d * lr
                     gu = jax.lax.dynamic_update_slice(gu, gp, (off,))
@@ -183,10 +198,11 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
             0, k, rank_body, (Rds, vals_r, vals_c, W, H, u_pend, v_pend))
 
     nb_r, nb_c, npan = len(rows.buckets), len(cols.buckets), len(panels)
+    nmask = 0 if nan_mask else npan
     bspec = P(axis, None)
     rep = P()
     in_specs = (tuple([bspec] * nb_r), tuple([bspec] * nb_c),
-                tuple([bspec] * npan), tuple([bspec] * npan),
+                tuple([bspec] * npan), tuple([bspec] * nmask),
                 tuple([bspec] * nb_r), tuple([bspec] * nb_c),
                 rep, rep, rep, rep, rep, rep,
                 P(axis, None), P(axis, None), P(axis), P(axis))
@@ -270,7 +286,8 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = jax.device_put(np.asarray(T.val), rep)
 
     step_fn = make_sharded_hybrid_step(plan, mesh, cfg.lambda_,
-                                       cfg.maxinneriter, residual_dtype=rdt)
+                                       cfg.maxinneriter, residual_dtype=rdt,
+                                       nan_mask=cfg.mask_dtype == "nan")
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

@@ -260,15 +260,16 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
 
     ``mask_dtype`` int8 halves the mask's HBM footprint/read traffic with
     identical numerics ({0,1} exact; the sweeps convert at the operand
-    load, cfg.mask_dtype)."""
+    load, cfg.mask_dtype). ``mask_dtype="nan"`` stores no mask at all —
+    unobserved cells hold a NaN sentinel in the residual and ``masks`` is
+    returned as an EMPTY tuple (the step derives the mask in-register)."""
     rdt = jnp.dtype(residual_dtype)
-    mdt = jnp.dtype(mask_dtype)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def _one(lr, lc, lv, rows_, w_):
         # chunked scatter: bounds the lane-padded (nnz, 2) index temp that
         # OOMs a fresh compile at Netflix-panel nnz (ops/densify.py)
-        return densify_coo(lr, lc, lv, rows_, w_, rdt, mdt)
+        return densify_coo(lr, lc, lv, rows_, w_, rdt, mask_dtype)
 
     Rds, masks = [], []
     for (lr, lc, lv), (r0, r1, w) in zip(plan.panel_coo or (), plan.panels):
@@ -277,21 +278,28 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
         jax.block_until_ready(Rd)          # finish before the next scatter
         if sharding is not None:
             Rd = jax.device_put(Rd, sharding)
-            Md = jax.device_put(Md, sharding)
+            if Md is not None:
+                Md = jax.device_put(Md, sharding)
         Rds.append(Rd)
-        masks.append(Md)
+        if Md is not None:
+            masks.append(Md)
     return tuple(Rds), tuple(masks)
 
 
 def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
-                           residual_dtype=jnp.float32, jit_compile=True):
+                           residual_dtype=jnp.float32, jit_compile=True,
+                           nan_mask: bool = False):
     """One outer iteration over all k ranks (lax.fori_loop), all parts.
 
     Sweep matvec operands are always f32 (storage dtypes upcast at the
     operand load). Negative result, measured at Netflix-100M fp8+int8:
     bf16 operands gave NO speedup (6.23 vs 6.03 s/iter — the convert pass
     count is unchanged) and the ~2^-9 operand rounding amplified through
-    the rank recursion to >10% on weakly-determined factors."""
+    the rank recursion to >10% on weakly-determined factors.
+
+    ``nan_mask``: panels carry no mask arrays (callers pass ``masks=()``) —
+    unobserved cells are NaN in the residual; the update leaves them NaN
+    (NaN + delta = NaN) and the sweeps derive mask = ~isnan in-register."""
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
     panels = plan.panels
     lam_ = jnp.float32(lam)
@@ -305,6 +313,16 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
     def step(idx_r, idx_c, Rds, masks, vals_r, vals_c, W, H,
              u_pend, v_pend, row_nnz, col_nnz,
              upos_safe, ipos_safe, slot_of_upos, slot_of_ipos):
+        if nan_mask:
+            masks = (None,) * len(panels)
+
+        def panel_view(Rd, mask):
+            """f32 (residual, mask) operands for the sweep einsums."""
+            if mask is None:
+                isn = jnp.isnan(Rd)
+                return (jnp.where(isn, jnp.float32(0), Rd.astype(cdt)),
+                        (~isn).astype(cdt))
+            return Rd.astype(cdt), mask.astype(cdt)
 
         def uslots(x):         # (m,) entity vec -> rows-side slot space
             return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[upos_safe]
@@ -324,8 +342,11 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
             for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
                 delta = (jnp.outer(u_old[r0:r1], v_old[:w])
                          - jnp.outer(u_pend[r0:r1], v_pend[:w]))
-                new_Rds.append(
-                    Rd + (delta * mask.astype(delta.dtype)).astype(rdt))
+                if mask is None:     # NaN sentinel absorbs the delta
+                    new_Rds.append(Rd + delta.astype(rdt))
+                else:
+                    new_Rds.append(
+                        Rd + (delta * mask.astype(delta.dtype)).astype(rdt))
             Rds = tuple(new_Rds)
 
             u, v = u_old, v_old
@@ -335,13 +356,12 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 g = jnp.zeros(n, f32)
                 h = jnp.zeros(n, f32)
                 for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                    Rf, Mf = panel_view(Rd, mask)
                     gp = jnp.einsum("m,mn->n", u[r0:r1].astype(cdt),
-                                    Rd.astype(cdt),
-                                    preferred_element_type=f32)
+                                    Rf, preferred_element_type=f32)
                     hp = jnp.einsum("m,mn->n",
                                     (u[r0:r1] * u[r0:r1]).astype(cdt),
-                                    mask.astype(cdt),
-                                    preferred_element_type=f32)
+                                    Mf, preferred_element_type=f32)
                     g = g.at[:w].add(gp)
                     h = h.at[:w].add(hp)
                 if have_light:
@@ -381,10 +401,10 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 gu = jnp.zeros(m, f32)
                 hu = jnp.zeros(m, f32)
                 for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                    gp = jnp.einsum("mn,n->m", Rd.astype(cdt),
-                                    v[:w].astype(cdt),
+                    Rf, Mf = panel_view(Rd, mask)
+                    gp = jnp.einsum("mn,n->m", Rf, v[:w].astype(cdt),
                                     preferred_element_type=f32)
-                    hp = jnp.einsum("mn,n->m", mask.astype(cdt),
+                    hp = jnp.einsum("mn,n->m", Mf,
                                     (v[:w] * v[:w]).astype(cdt),
                                     preferred_element_type=f32)
                     gu = gu.at[r0:r1].add(gp)
@@ -449,10 +469,18 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
-    mdt = jnp.dtype(cfg.mask_dtype)
+    nan_mask = cfg.mask_dtype == "nan"
     if plan.panel_coo is not None:
-        dense_Rds, masks = densify_panels(plan, rdt, mask_dtype=mdt)
+        dense_Rds, masks = densify_panels(plan, rdt,
+                                          mask_dtype=cfg.mask_dtype)
+    elif nan_mask:                         # materialized plan, NaN sentinel
+        dense_Rds = tuple(
+            jnp.where(jnp.asarray(Mp) > 0, jnp.asarray(Rp),
+                      jnp.nan).astype(rdt)
+            for Rp, Mp in zip(plan.Rd, plan.Md))
+        masks = ()
     else:                                  # caller passed a materialized plan
+        mdt = jnp.dtype(cfg.mask_dtype)
         dense_Rds = tuple(jnp.asarray(Rp.astype(rdt)) for Rp in plan.Rd)
         masks = tuple(jnp.asarray(Mp.astype(mdt)) for Mp in plan.Md)
 
@@ -491,7 +519,7 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = jnp.asarray(T.val)
 
     step_fn = make_hybrid_outer_step(plan, cfg.lambda_, cfg.maxinneriter,
-                                     residual_dtype=rdt)
+                                     residual_dtype=rdt, nan_mask=nan_mask)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

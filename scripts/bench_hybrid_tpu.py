@@ -102,7 +102,8 @@ def main():
     jax.block_until_ready(vals_r)
     print(f"ELL ship: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt)
+    step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt,
+                                  nan_mask=mask_dtype == "nan")
 
     def run_step(s):
         return step(idx_r, idx_c, s[0], masks, s[1], s[2], s[3], s[4],

@@ -138,6 +138,51 @@ def test_hybrid_int8_mask_identical(small_data, ccd_golden):
     _assert_matches(W8, H8, stats8, Wr, Hr, stats_r)
 
 
+def test_hybrid_nan_mask_identical(small_data, ccd_golden):
+    """mask_dtype='nan' (no mask array; unobserved panel cells hold a NaN
+    sentinel in the residual) is bit-identical to the explicit bf16 mask at
+    f32 residual: the update's masked delta and the sweeps' masked operands
+    see exactly the same values — only the storage encoding differs."""
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    outs = []
+    for mdt in ("bfloat16", "nan"):
+        cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                     backend="hybrid", hybrid_dense_cells=100 * R.cols,
+                     hybrid_panel_widths=(32, 16), mask_dtype=mdt)
+        outs.append(ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg))
+    Wn, Hn, statsn = outs[1]
+    np.testing.assert_array_equal(outs[0][0], Wn)
+    np.testing.assert_array_equal(outs[0][1], Hn)
+    _assert_matches(Wn, Hn, statsn, Wr, Hr, stats_r)
+
+
+def test_hybrid_nan_mask_inner2_and_resume(small_data, tmp_path):
+    """NaN-sentinel mode with maxinneriter=2 (the i>0 sweep reads the
+    NaN-carrying residual with no preceding update) matches the golden
+    solver, and checkpoint/resume reproduces the uninterrupted run (the
+    sentinel survives the npz round-trip)."""
+    from cuda_recommender_tpu.core.trainer import train
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    Wr, Hr = W0.copy(), H0.copy()
+    ccd_reference(R, Wr, Hr, T, lambda_=0.1, maxiter=3, maxinneriter=2)
+    base = dict(k=K, maxinneriter=2, lambda_=0.1, backend="hybrid",
+                hybrid_dense_cells=100 * R.cols,
+                hybrid_panel_widths=(32, 16), mask_dtype="nan")
+    full = train(Config(maxiter=3, **base), R, T)
+    assert golden_compare(full.W, Wr, atol=1e-3).passed
+    assert golden_compare(full.H, Hr, atol=1e-3).passed
+
+    ck = str(tmp_path / "ck")
+    train(Config(maxiter=2, checkpoint_dir=ck, checkpoint_every=1, **base),
+          R, T)
+    resumed = train(Config(maxiter=3, checkpoint_dir=ck, checkpoint_every=1,
+                           **base), R, T, resume_from_checkpoint=True)
+    np.testing.assert_allclose(full.W, resumed.W, atol=1e-6)
+    np.testing.assert_allclose(full.H, resumed.H, atol=1e-6)
+
+
 @pytest.mark.parametrize("rdt,tol", [("bfloat16", 0.02),
                                      ("float8_e4m3fn", 0.05)])
 def test_hybrid_lowprec_residual(small_data, ccd_golden, rdt, tol):
