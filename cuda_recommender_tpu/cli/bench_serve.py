@@ -24,6 +24,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--queries", type=int, default=8192)
+    p.add_argument("--approx", action="store_true",
+                   help="lax.approx_max_k chunk reduction before the exact "
+                        "merge (TPU-native partial sort; large catalogs are "
+                        "merge-bound in exact mode)")
     p.add_argument("--int8", action="store_true",
                    help="int8-quantized item table (4x smaller HBM footprint;"
                         " per-item scales, dequantized in-register)")
@@ -88,12 +92,14 @@ def main(argv=None) -> int:
 
         def run_batch(U):
             return topk_mips_device_int8(U, Hqd, scd, topk=args.topk,
-                                         chunk=args.chunk)
+                                         chunk=args.chunk,
+                                         approx=args.approx)
     else:
         Hd = jnp.asarray(Hp)
 
         def run_batch(U):
-            return topk_mips_device(U, Hd, topk=args.topk, chunk=args.chunk)
+            return topk_mips_device(U, Hd, topk=args.topk, chunk=args.chunk,
+                                    approx=args.approx)
     rng = np.random.default_rng(0)
     users = rng.integers(0, W.shape[0], args.queries).astype(np.int64)
 
@@ -125,7 +131,8 @@ def main(argv=None) -> int:
         exclude = {int(u): R.csr_idx[R.csr_ptr[u]:R.csr_ptr[u + 1]]
                    for u in sample}
         _, items = topk_mips(W, H, sample, topk=args.topk, chunk=args.chunk,
-                             exclude=exclude, int8=args.int8)
+                             exclude=exclude, int8=args.int8,
+                             approx=args.approx)
         rec = recall_at_k(items, relevant)
 
     print(json.dumps({
@@ -136,7 +143,7 @@ def main(argv=None) -> int:
         "detail": {"recall_at_k": None if rec is None else round(rec, 4),
                    "topk": args.topk,
                    "items": n, "rank": k, "batch": args.batch,
-                   "int8": bool(args.int8),
+                   "int8": bool(args.int8), "approx": bool(args.approx),
                    "note": "vs_baseline field carries recall@k (reference "
                            "has no serving benchmark)"},
     }))

@@ -121,6 +121,13 @@ class Config:
     #: a bf16 residual fits a 6.5e9-cell stair (~97% Netflix-100M
     #: coverage) in 13 GB with bit-exact {0,1} mask numerics.
     mask_dtype: str = "bfloat16"
+    #: Run the hybrid backend's dense-panel passes through the fused Pallas
+    #: kernels (ops/panel_pallas.py): update + v-sweep partials in ONE
+    #: read-modify-write pass, u-sweep partials in ONE read pass — half the
+    #: XLA schedule's panel HBM traffic. Requires mask_dtype="nan" (the
+    #: kernels derive the mask from the NaN sentinel in-register) and the
+    #: single-device hybrid path. Panels are allocated block-padded.
+    hybrid_panel_kernel: bool = False
 
     # --- io ---
     data_dir: Optional[str] = None         # positional data_dir (reference CLI)
@@ -158,6 +165,10 @@ class Config:
         if self.mask_dtype not in ("bfloat16", "int8", "nan"):
             raise ValueError(f"mask_dtype must be 'bfloat16', 'int8' or "
                              f"'nan', got {self.mask_dtype!r}")
+        if self.hybrid_panel_kernel and self.mask_dtype != "nan":
+            raise ValueError("hybrid_panel_kernel requires mask_dtype='nan' "
+                             "(the fused kernels read the mask from the "
+                             "NaN sentinel)")
         self.hybrid_panel_widths = tuple(int(w)
                                          for w in self.hybrid_panel_widths)
         if any(w <= 0 for w in self.hybrid_panel_widths):

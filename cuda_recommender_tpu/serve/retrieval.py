@@ -24,15 +24,35 @@ from .scoring import as_entity_major
 NEG = jnp.float32(-3.4e38)
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "chunk"))
+def _merge_topk(best_s, best_i, s, ids, topk: int, approx: bool):
+    """Merge one chunk's scores into the running (B, topk) state.
+
+    Exact mode sorts the full (B, topk + chunk) candidate set with
+    lax.top_k — an O(chunk) VPU sort network per step that dominates
+    large-catalog QPS (measured: 1M items x k=64 is merge-bound, f32 ==
+    int8 at 8.7k q/s). Approx mode first reduces the chunk with the
+    TPU-native ``lax.approx_max_k`` (the hardware-friendly partial-sort;
+    recall_target 0.99 per chunk), then exact-merges only (B, 2·topk)."""
+    if approx and topk <= s.shape[1] // 2:   # else exact merge is cheaper
+        s, pos = jax.lax.approx_max_k(s, topk, recall_target=0.99)
+        ids = jnp.take_along_axis(ids, pos, axis=1)
+    cand_s = jnp.concatenate([best_s, s], axis=1)
+    cand_i = jnp.concatenate([best_i, ids], axis=1)
+    top_s, pos = jax.lax.top_k(cand_s, topk)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "chunk", "approx"))
 def topk_mips_device(U: jnp.ndarray, H_em: jnp.ndarray, *, topk: int,
-                     chunk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     chunk: int,
+                     approx: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(scores, item_ids) of the top-``topk`` inner products per query row.
 
     U (B, k) query factors; H_em (n, k) item table with n a multiple of
     ``chunk`` (caller pads with NEG-scored rows). Running top-k state is
-    (B, topk); each scan step scores one chunk on the MXU and merges via
-    lax.top_k over the concatenated (B, topk + chunk) candidates.
+    (B, topk); each scan step scores one chunk on the MXU and merges
+    (``approx=True`` = lax.approx_max_k chunk reduction, see _merge_topk).
     """
     n = H_em.shape[0]
     Hc = H_em.reshape(n // chunk, chunk, H_em.shape[1])
@@ -43,11 +63,7 @@ def topk_mips_device(U: jnp.ndarray, H_em: jnp.ndarray, *, topk: int,
         Hb, base = xs
         s = jnp.einsum("bk,ck->bc", U, Hb, preferred_element_type=jnp.float32)
         ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
-        cand_s = jnp.concatenate([best_s, s], axis=1)
-        cand_i = jnp.concatenate([best_i, ids], axis=1)
-        top_s, pos = jax.lax.top_k(cand_s, topk)
-        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-        return (top_s, top_i), None
+        return _merge_topk(best_s, best_i, s, ids, topk, approx), None
 
     init = (jnp.full((B, topk), NEG), jnp.full((B, topk), -1, jnp.int32))
     bases = (jnp.arange(n // chunk, dtype=jnp.int32) * chunk)
@@ -69,10 +85,11 @@ def quantize_item_table(H_em: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return Hq, scale
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "chunk"))
+@functools.partial(jax.jit, static_argnames=("topk", "chunk", "approx"))
 def topk_mips_device_int8(U: jnp.ndarray, Hq: jnp.ndarray,
-                          scale: jnp.ndarray, *, topk: int,
-                          chunk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                          scale: jnp.ndarray, *, topk: int, chunk: int,
+                          approx: bool = False
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming top-k over an int8-quantized item table: identical merge
     structure to topk_mips_device, but each chunk streams int8 rows out of
     HBM (1/4 the bandwidth of f32) and dequantizes in-register — the
@@ -89,11 +106,7 @@ def topk_mips_device_int8(U: jnp.ndarray, Hq: jnp.ndarray,
         s = jnp.einsum("bk,ck->bc", U, Hb.astype(jnp.float32),
                        preferred_element_type=jnp.float32) * sc[None, :]
         ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
-        cand_s = jnp.concatenate([best_s, s], axis=1)
-        cand_i = jnp.concatenate([best_i, ids], axis=1)
-        top_s, pos = jax.lax.top_k(cand_s, topk)
-        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-        return (top_s, top_i), None
+        return _merge_topk(best_s, best_i, s, ids, topk, approx), None
 
     init = (jnp.full((B, topk), NEG), jnp.full((B, topk), -1, jnp.int32))
     bases = (jnp.arange(n // chunk, dtype=jnp.int32) * chunk)
@@ -123,7 +136,8 @@ def _postprocess(s, i, n, topk, user_ids, exclude):
 def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
               entity_major: bool = True,
               exclude: dict[int, np.ndarray] | None = None,
-              int8: bool = False) -> tuple[np.ndarray, np.ndarray]:
+              int8: bool = False,
+              approx: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Host API: top-k item retrieval for a batch of users.
 
     ``exclude`` optionally maps user id -> item ids to mask out (e.g. train
@@ -151,8 +165,9 @@ def topk_mips(W, H, user_ids, *, topk: int = 10, chunk: int = 2048,
         s, i = topk_mips_device_int8(jnp.asarray(U), jnp.asarray(Hq),
                                      jnp.asarray(scale),
                                      topk=min(fetch + pad, n + pad),
-                                     chunk=chunk)
+                                     chunk=chunk, approx=approx)
     else:
         s, i = topk_mips_device(jnp.asarray(U), jnp.asarray(Hp),
-                                topk=min(fetch + pad, n + pad), chunk=chunk)
+                                topk=min(fetch + pad, n + pad), chunk=chunk,
+                                approx=approx)
     return _postprocess(s, i, n, topk, user_ids, exclude)

@@ -250,7 +250,7 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
 
 
 def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
-                   mask_dtype=jnp.bfloat16):
+                   mask_dtype=jnp.bfloat16, block_pad: bool = False):
     """Device-side scatter of each panel's COO into its (rows, w) residual
     block + mask — ONE jitted scatter per panel (a fused all-panel
     scatter holds every output AND its zeros-init live at once; measured OOM
@@ -262,7 +262,10 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
     identical numerics ({0,1} exact; the sweeps convert at the operand
     load, cfg.mask_dtype). ``mask_dtype="nan"`` stores no mask at all —
     unobserved cells hold a NaN sentinel in the residual and ``masks`` is
-    returned as an EMPTY tuple (the step derives the mask in-register)."""
+    returned as an EMPTY tuple (the step derives the mask in-register).
+    ``block_pad`` (NaN mode only) allocates each panel at the Pallas
+    block-aligned shape (ops/panel_pallas.padded_panel_shape) — pad cells
+    are NaN, i.e. unobserved, so the math is unchanged."""
     rdt = jnp.dtype(residual_dtype)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -271,10 +274,17 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
         # OOMs a fresh compile at Netflix-panel nnz (ops/densify.py)
         return densify_coo(lr, lc, lv, rows_, w_, rdt, mask_dtype)
 
+    if block_pad and mask_dtype != "nan":
+        raise ValueError("block_pad requires mask_dtype='nan'")
+
     Rds, masks = [], []
     for (lr, lc, lv), (r0, r1, w) in zip(plan.panel_coo or (), plan.panels):
+        rows_, w_ = r1 - r0, w
+        if block_pad:
+            from ..ops.panel_pallas import padded_panel_shape
+            rows_, w_ = padded_panel_shape(rows_, w_)
         Rd, Md = _one(jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(lv),
-                      r1 - r0, w)
+                      rows_, w_)
         jax.block_until_ready(Rd)          # finish before the next scatter
         if sharding is not None:
             Rd = jax.device_put(Rd, sharding)
@@ -288,7 +298,8 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
 
 def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                            residual_dtype=jnp.float32, jit_compile=True,
-                           nan_mask: bool = False):
+                           nan_mask: bool = False,
+                           panel_kernel: bool = False):
     """One outer iteration over all k ranks (lax.fori_loop), all parts.
 
     Sweep matvec operands are always f32 (storage dtypes upcast at the
@@ -299,7 +310,17 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
 
     ``nan_mask``: panels carry no mask arrays (callers pass ``masks=()``) —
     unobserved cells are NaN in the residual; the update leaves them NaN
-    (NaN + delta = NaN) and the sweeps derive mask = ~isnan in-register."""
+    (NaN + delta = NaN) and the sweeps derive mask = ~isnan in-register.
+
+    ``panel_kernel`` (implies nan_mask; panels must be block-padded,
+    densify_panels(block_pad=True)): panel passes run through the fused
+    Pallas kernels (ops/panel_pallas.py) — update + v-sweep partials in one
+    read-modify-write pass and u-sweep partials in one read pass, halving
+    panel HBM traffic vs the XLA einsum schedule. Accumulation is blocked
+    f32, so factors may differ from the XLA path at FMA/sum-order ULP
+    level (golden tolerance unaffected)."""
+    if panel_kernel and not nan_mask:
+        raise ValueError("panel_kernel requires nan_mask")
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
     panels = plan.panels
     lam_ = jnp.float32(lam)
@@ -309,6 +330,13 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
     m = plan.row_nnz.shape[0]
     n = plan.col_nnz.shape[0]
     f32 = jnp.float32
+    interp = jax.default_backend() == "cpu"
+
+    def _seg(x, r0, r1, Mp):             # (m,) -> padded panel-row segment
+        return jnp.pad(x[r0:r1], (0, Mp - (r1 - r0)))
+
+    def _vec(x, w, Wp):                  # (n,) -> padded panel-col vector
+        return jnp.pad(x[:w], (0, Wp - w))
 
     def step(idx_r, idx_c, Rds, masks, vals_r, vals_c, W, H,
              u_pend, v_pend, row_nnz, col_nnz,
@@ -337,17 +365,22 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
 
             # ---- dense panels: fused deferred-subtract + add-back, ONE
             # residual pass each (ccd_dense.py schedule; in oiter 1 H[t]==0
-            # so the add-back vanishes — one compiled step covers all) ----
-            new_Rds = []
-            for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                delta = (jnp.outer(u_old[r0:r1], v_old[:w])
-                         - jnp.outer(u_pend[r0:r1], v_pend[:w]))
-                if mask is None:     # NaN sentinel absorbs the delta
-                    new_Rds.append(Rd + delta.astype(rdt))
-                else:
-                    new_Rds.append(
-                        Rd + (delta * mask.astype(delta.dtype)).astype(rdt))
-            Rds = tuple(new_Rds)
+            # so the add-back vanishes — one compiled step covers all).
+            # In panel_kernel mode the update is fused INTO the first
+            # v-sweep kernel pass instead (same order: update, then sweep
+            # with u_old). ----
+            if not panel_kernel:
+                new_Rds = []
+                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                    delta = (jnp.outer(u_old[r0:r1], v_old[:w])
+                             - jnp.outer(u_pend[r0:r1], v_pend[:w]))
+                    if mask is None:     # NaN sentinel absorbs the delta
+                        new_Rds.append(Rd + delta.astype(rdt))
+                    else:
+                        new_Rds.append(
+                            Rd + (delta
+                                  * mask.astype(delta.dtype)).astype(rdt))
+                Rds = tuple(new_Rds)
 
             u, v = u_old, v_old
             Gr_new = None
@@ -355,15 +388,36 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 # ---- v-sweep (items): panel matvecs + ELL partials ----
                 g = jnp.zeros(n, f32)
                 h = jnp.zeros(n, f32)
-                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                    Rf, Mf = panel_view(Rd, mask)
-                    gp = jnp.einsum("m,mn->n", u[r0:r1].astype(cdt),
-                                    Rf, preferred_element_type=f32)
-                    hp = jnp.einsum("m,mn->n",
-                                    (u[r0:r1] * u[r0:r1]).astype(cdt),
-                                    Mf, preferred_element_type=f32)
-                    g = g.at[:w].add(gp)
-                    h = h.at[:w].add(hp)
+                if panel_kernel:
+                    from ..ops.panel_pallas import (panel_update_vsweep,
+                                                    panel_vsweep)
+                    new_Rds = list(Rds)
+                    for pi, (r0, r1, w) in enumerate(panels):
+                        Rd = new_Rds[pi]
+                        Mp, Wp = Rd.shape
+                        if i == 0:
+                            Rd, gp, hp = panel_update_vsweep(
+                                Rd, _seg(u_old, r0, r1, Mp),
+                                _seg(u_pend, r0, r1, Mp),
+                                _vec(v_old, w, Wp), _vec(v_pend, w, Wp),
+                                interpret=interp)
+                            new_Rds[pi] = Rd
+                        else:
+                            gp, hp = panel_vsweep(
+                                Rd, _seg(u, r0, r1, Mp), interpret=interp)
+                        g = g.at[:w].add(gp[:w])
+                        h = h.at[:w].add(hp[:w])
+                    Rds = tuple(new_Rds)
+                else:
+                    for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                        Rf, Mf = panel_view(Rd, mask)
+                        gp = jnp.einsum("m,mn->n", u[r0:r1].astype(cdt),
+                                        Rf, preferred_element_type=f32)
+                        hp = jnp.einsum("m,mn->n",
+                                        (u[r0:r1] * u[r0:r1]).astype(cdt),
+                                        Mf, preferred_element_type=f32)
+                        g = g.at[:w].add(gp)
+                        h = h.at[:w].add(hp)
                 if have_light:
                     if i == 0:
                         # ONE paired row-gather [u_pend, u_old] serves the
@@ -400,15 +454,23 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 # ---- u-sweep (users) ----
                 gu = jnp.zeros(m, f32)
                 hu = jnp.zeros(m, f32)
-                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                    Rf, Mf = panel_view(Rd, mask)
-                    gp = jnp.einsum("mn,n->m", Rf, v[:w].astype(cdt),
-                                    preferred_element_type=f32)
-                    hp = jnp.einsum("mn,n->m", Mf,
-                                    (v[:w] * v[:w]).astype(cdt),
-                                    preferred_element_type=f32)
-                    gu = gu.at[r0:r1].add(gp)
-                    hu = hu.at[r0:r1].add(hp)
+                if panel_kernel:
+                    from ..ops.panel_pallas import panel_usweep
+                    for (r0, r1, w), Rd in zip(panels, Rds):
+                        gp, hp = panel_usweep(Rd, _vec(v, w, Rd.shape[1]),
+                                              interpret=interp)
+                        gu = gu.at[r0:r1].add(gp[:r1 - r0])
+                        hu = hu.at[r0:r1].add(hp[:r1 - r0])
+                else:
+                    for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                        Rf, Mf = panel_view(Rd, mask)
+                        gp = jnp.einsum("mn,n->m", Rf, v[:w].astype(cdt),
+                                        preferred_element_type=f32)
+                        hp = jnp.einsum("mn,n->m", Mf,
+                                        (v[:w] * v[:w]).astype(cdt),
+                                        preferred_element_type=f32)
+                        gu = gu.at[r0:r1].add(gp)
+                        hu = hu.at[r0:r1].add(hp)
                 if have_light:
                     if i == 0:
                         # ONE paired row-gather [v_old, v_new] serves the
@@ -470,14 +532,24 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
     nan_mask = cfg.mask_dtype == "nan"
+    kernel = cfg.hybrid_panel_kernel
     if plan.panel_coo is not None:
         dense_Rds, masks = densify_panels(plan, rdt,
-                                          mask_dtype=cfg.mask_dtype)
+                                          mask_dtype=cfg.mask_dtype,
+                                          block_pad=kernel)
     elif nan_mask:                         # materialized plan, NaN sentinel
-        dense_Rds = tuple(
-            jnp.where(jnp.asarray(Mp) > 0, jnp.asarray(Rp),
-                      jnp.nan).astype(rdt)
-            for Rp, Mp in zip(plan.Rd, plan.Md))
+        dense_Rds = []
+        for Rp, Mp in zip(plan.Rd, plan.Md):
+            Rn = jnp.where(jnp.asarray(Mp) > 0, jnp.asarray(Rp),
+                           jnp.nan).astype(rdt)
+            if kernel:
+                from ..ops.panel_pallas import padded_panel_shape
+                Mp_, Wp_ = padded_panel_shape(*Rn.shape)
+                Rn = jnp.pad(Rn, ((0, Mp_ - Rn.shape[0]),
+                                  (0, Wp_ - Rn.shape[1])),
+                             constant_values=jnp.nan)
+            dense_Rds.append(Rn)
+        dense_Rds = tuple(dense_Rds)
         masks = ()
     else:                                  # caller passed a materialized plan
         mdt = jnp.dtype(cfg.mask_dtype)
@@ -519,7 +591,8 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = jnp.asarray(T.val)
 
     step_fn = make_hybrid_outer_step(plan, cfg.lambda_, cfg.maxinneriter,
-                                     residual_dtype=rdt, nan_mask=nan_mask)
+                                     residual_dtype=rdt, nan_mask=nan_mask,
+                                     panel_kernel=kernel)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

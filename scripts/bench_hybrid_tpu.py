@@ -52,6 +52,7 @@ def main():
     m = int(os.environ.get("CRTPU_BENCH_M", 480_189))
     n = int(os.environ.get("CRTPU_BENCH_N", 17_770))
     mask_dtype = os.environ.get("CRTPU_MASK_DTYPE", "bfloat16")
+    panel_kernel = bool(int(os.environ.get("CRTPU_PANEL_KERNEL", "0")))
     widths = tuple(int(w) for w in os.environ.get(
         "CRTPU_PANEL_WIDTHS", "2048,256").split(",") if w)
     lam = 0.05
@@ -67,7 +68,8 @@ def main():
     res_dtype = os.environ.get("CRTPU_RESIDUAL_DTYPE", "bfloat16")
     cfg = Config(k=k, lambda_=lam, backend="hybrid",
                  residual_dtype=res_dtype, hybrid_dense_cells=cells,
-                 hybrid_panel_widths=widths, mask_dtype=mask_dtype)
+                 hybrid_panel_widths=widths, mask_dtype=mask_dtype,
+                 hybrid_panel_kernel=panel_kernel)
     t0 = time.perf_counter()
     plan = plan_hybrid(R, cfg, materialize_dense=False)
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
@@ -80,7 +82,8 @@ def main():
 
     t0 = time.perf_counter()
     from cuda_recommender_tpu.solvers.ccd_hybrid import densify_panels
-    Rds, masks = densify_panels(plan, rdt, mask_dtype=mask_dtype)
+    Rds, masks = densify_panels(plan, rdt, mask_dtype=mask_dtype,
+                                block_pad=panel_kernel)
     print(f"densify(+COO ship): {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
@@ -103,7 +106,8 @@ def main():
     print(f"ELL ship: {time.perf_counter()-t0:.1f}s", flush=True)
 
     step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt,
-                                  nan_mask=mask_dtype == "nan")
+                                  nan_mask=mask_dtype == "nan",
+                                  panel_kernel=panel_kernel)
 
     def run_step(s):
         return step(idx_r, idx_c, s[0], masks, s[1], s[2], s[3], s[4],
@@ -146,7 +150,7 @@ def main():
         "rating_updates_per_s_M": round(R.nnz * k / dt / 1e6, 1),
         "vs_round1_ell_80M": round(R.nnz * k / dt / 80e6, 2),
         "rmse_after_5_iters": round(rmse, 4),
-        "mask_dtype": mask_dtype,
+        "mask_dtype": mask_dtype, "panel_kernel": panel_kernel,
         "residual_dtype": res_dtype,
         "t_xfer_s": round(t_xfer, 3),
     }

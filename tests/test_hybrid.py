@@ -157,6 +157,41 @@ def test_hybrid_nan_mask_identical(small_data, ccd_golden):
     _assert_matches(Wn, Hn, statsn, Wr, Hr, stats_r)
 
 
+def test_hybrid_panel_kernel_golden(small_data, ccd_golden):
+    """Fused Pallas panel kernels (update+v-sweep RMW pass, u-sweep read
+    pass, ops/panel_pallas.py; interpret mode on CPU): golden parity with
+    the reference solver, and ULP-level agreement with the XLA nan-mask
+    path (blocked f32 accumulation differs only in FMA/sum order)."""
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    base = dict(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                backend="hybrid", hybrid_dense_cells=100 * R.cols,
+                hybrid_panel_widths=(32, 16), mask_dtype="nan")
+    Wx, Hx, _ = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
+                                 Config(**base))
+    W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
+                                   Config(hybrid_panel_kernel=True, **base))
+    np.testing.assert_allclose(W, Wx, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(H, Hx, rtol=1e-4, atol=1e-5)
+    _assert_matches(W, H, stats, Wr, Hr, stats_r)
+
+
+def test_hybrid_panel_kernel_inner2(small_data):
+    """Kernel mode with maxinneriter=2 exercises the read-only v-sweep
+    kernel (i > 0) and still matches the golden solver."""
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    Wr, Hr = W0.copy(), H0.copy()
+    ccd_reference(R, Wr, Hr, T, lambda_=0.1, maxiter=2, maxinneriter=2)
+    cfg = Config(k=K, maxiter=2, maxinneriter=2, lambda_=0.1,
+                 backend="hybrid", hybrid_dense_cells=100 * R.cols,
+                 hybrid_panel_widths=(32, 16), mask_dtype="nan",
+                 hybrid_panel_kernel=True)
+    W, H, _ = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert golden_compare(W, Wr, atol=1e-3).passed
+    assert golden_compare(H, Hr, atol=1e-3).passed
+
+
 def test_hybrid_nan_mask_inner2_and_resume(small_data, tmp_path):
     """NaN-sentinel mode with maxinneriter=2 (the i>0 sweep reads the
     NaN-carrying residual with no preceding update) matches the golden

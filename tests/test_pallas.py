@@ -85,3 +85,53 @@ def test_gj_solve_large_k_dma_path(rng):
             interpret=jax.default_backend() == "cpu")).T
         ref = np.stack([np.linalg.solve(A[s], b[s]) for s in range(S)])
         np.testing.assert_allclose(x, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_panel_kernels_match_numpy(rng):
+    """Fused NaN-sentinel panel kernels vs direct NumPy, including ragged
+    shapes that force internal padding and both storage dtypes."""
+    from cuda_recommender_tpu.ops.panel_pallas import (
+        panel_update_vsweep, panel_usweep, panel_vsweep)
+
+    for (M, W, bm, bw) in [(48, 64, 16, 32), (50, 70, 16, 32),
+                           (16, 128, 16, 128)]:
+        mask = rng.random((M, W)) < 0.3
+        Rd = np.where(mask, rng.normal(size=(M, W)).astype(np.float32),
+                      np.nan)
+        uo, up, vo, vp = (rng.normal(size=s).astype(np.float32)
+                          for s in (M, M, W, W))
+        delta = np.outer(uo, vo) - np.outer(up, vp)
+        interp = jax.default_backend() == "cpu"
+        for dt in (jnp.float32, jnp.bfloat16):
+            Rdj = jnp.asarray(Rd, dt)
+            # kernel semantics: f32 add + ONE explicit rounding (the sweep
+            # then reads exactly the persisted value)
+            want = Rdj.astype(jnp.float32) + jnp.asarray(delta)
+            if dt == jnp.bfloat16:
+                want = jax.lax.reduce_precision(want, 8, 7)
+            want_R = np.asarray(want)
+            Rn, g, h = panel_update_vsweep(
+                Rdj, jnp.asarray(uo), jnp.asarray(up), jnp.asarray(vo),
+                jnp.asarray(vp), interpret=interp, bm=bm, bw=bw)
+            Rn32 = np.asarray(Rn.astype(jnp.float32))
+            assert np.isnan(Rn32[~mask]).all()          # sentinel preserved
+            np.testing.assert_allclose(Rn32[mask], want_R[mask],
+                                       rtol=2e-6, atol=2e-6)
+            Rm = np.where(mask, Rn32, 0.0)
+            mf = mask.astype(np.float32)
+            np.testing.assert_allclose(np.asarray(g), uo @ Rm,
+                                       rtol=2e-5, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(h), (uo * uo) @ mf,
+                                       rtol=2e-5, atol=2e-4)
+            gv, hv = panel_vsweep(Rn, jnp.asarray(uo), interpret=interp,
+                                  bm=bm, bw=bw)
+            np.testing.assert_allclose(np.asarray(gv), uo @ Rm,
+                                       rtol=2e-5, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(hv), (uo * uo) @ mf,
+                                       rtol=2e-5, atol=2e-4)
+            gu, hu = panel_usweep(Rn, jnp.asarray(vo), interpret=interp,
+                                  bm=bm, bw=bw)
+            np.testing.assert_allclose(np.asarray(gu), Rm @ vo,
+                                       rtol=2e-5, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(hu), mf @ (vo * vo),
+                                       rtol=2e-5, atol=2e-4)
