@@ -112,6 +112,11 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         return ccd_pallas_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.HYBRID:
         if mesh is not None:
+            if cfg.hybrid_panel_kernel:
+                raise NotImplementedError(
+                    "hybrid_panel_kernel is single-device; the sharded "
+                    "hybrid path uses the XLA panel schedule (drop "
+                    "hybrid_panel_kernel or the mesh)")
             from ..parallel.ccd_hybrid_sharded import ccd_hybrid_train_sharded
             return ccd_hybrid_train_sharded(R, W0, H0, T, cfg, mesh, **kw)
         from ..solvers.ccd_hybrid import ccd_hybrid_train
