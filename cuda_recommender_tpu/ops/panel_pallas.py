@@ -36,7 +36,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 #: default block shape (rows x cols). 512x1024 bf16 = 1 MB residual block;
 #: with double-buffered in/out aliasing plus f32 temps this stays well
@@ -45,19 +44,24 @@ BM = 512
 BW = 1024
 
 
-def _round_bits(dtype) -> tuple[int, int | None]:
-    """(exponent_bits, mantissa_bits) for lax.reduce_precision emulation of
-    the storage rounding; mantissa None = f32 storage, no rounding."""
+def _round_to_storage(x, dtype):
+    """Round f32 ``x`` to the storage dtype's grid, returning f32, with an
+    op sequence that is honest on EVERY backend. A plain
+    astype(dt).astype(f32) round-trip is elided by XLA's excess-precision
+    rule (measured 0.3% sweep-vs-stored drift), and lax.reduce_precision
+    does not lower in Mosaic — so bf16 uses the canonical integer
+    round-to-nearest-even on the raw bits (NaN sentinels are canonical
+    0x7FC00000 and survive the bias add unchanged). fp8 keeps the astype
+    round-trip (screening dtype; Mosaic lowers its converts honestly)."""
     dt = jnp.dtype(dtype)
-    if dt == jnp.dtype(jnp.bfloat16):
-        return 8, 7
     if dt == jnp.dtype(jnp.float32):
-        return 8, None
-    if "e4m3" in dt.name:
-        return 4, 3
-    if "e5m2" in dt.name:
-        return 5, 2
-    raise ValueError(f"unsupported panel residual dtype {dt}")
+        return x
+    if dt == jnp.dtype(jnp.bfloat16):
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        lsb = (bits >> 16) & jnp.uint32(1)
+        rounded = (bits + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+        return jax.lax.bitcast_convert_type(rounded, jnp.float32)
+    return x.astype(dt).astype(jnp.float32)
 
 
 def padded_panel_shape(M: int, W: int, bm: int = BM,
@@ -79,10 +83,7 @@ def _uv_kernel(Rd_ref, uo_ref, up_ref, vo_ref, vp_ref,
     # elided by XLA's excess-precision rule (measured: bf16 g drifted 0.3%
     # from the stored residual), while lax.reduce_precision is an explicit
     # op that survives fusion. NaN (unobserved sentinel) passes through.
-    Rnew = Rd_ref[...].astype(f32) + delta
-    eb, mb = _round_bits(Rd_ref.dtype)
-    if mb is not None:
-        Rnew = jax.lax.reduce_precision(Rnew, eb, mb)
+    Rnew = _round_to_storage(Rd_ref[...].astype(f32) + delta, Rd_ref.dtype)
     Rout_ref[...] = Rnew.astype(Rd_ref.dtype)         # exact: pre-rounded
     Rf32 = Rnew
     isn = jnp.isnan(Rf32)
