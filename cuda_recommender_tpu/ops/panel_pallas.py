@@ -73,6 +73,25 @@ def padded_panel_shape(M: int, W: int, bm: int = BM,
     return (-(-M // bm_) * bm_, -(-W // bw_) * bw_)
 
 
+_F32 = jax.lax.Precision.HIGHEST
+
+
+def _col_reduce(a, B):
+    """(1, bw) = aᵀ·B for a (bm, 1), B (bm, bw) — MXU, f32 accumulate.
+    VPU broadcast-multiply + cross-sublane sum was ~3x off the HBM
+    roofline at Netflix panel sizes; the MXU does these for free."""
+    return jax.lax.dot_general(a, B, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_F32)
+
+
+def _row_reduce(B, v):
+    """(bm, 1) = B·vᵀ for B (bm, bw), v (1, bw) — MXU, f32 accumulate."""
+    return jax.lax.dot_general(B, v, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_F32)
+
+
 def _uv_kernel(Rd_ref, uo_ref, up_ref, vo_ref, vp_ref,
                Rout_ref, g_ref, h_ref):
     im = pl.program_id(1)
@@ -85,13 +104,12 @@ def _uv_kernel(Rd_ref, uo_ref, up_ref, vo_ref, vp_ref,
     # op that survives fusion. NaN (unobserved sentinel) passes through.
     Rnew = _round_to_storage(Rd_ref[...].astype(f32) + delta, Rd_ref.dtype)
     Rout_ref[...] = Rnew.astype(Rd_ref.dtype)         # exact: pre-rounded
-    Rf32 = Rnew
-    isn = jnp.isnan(Rf32)
-    Rf = jnp.where(isn, jnp.float32(0), Rf32)
+    isn = jnp.isnan(Rnew)
+    Rf = jnp.where(isn, jnp.float32(0), Rnew)
     Mf = (~isn).astype(f32)
     u = uo_ref[...]                      # (bm, 1); v-sweep reads u_old
-    gp = jnp.sum(u * Rf, axis=0, keepdims=True)       # (1, bw)
-    hp = jnp.sum((u * u) * Mf, axis=0, keepdims=True)
+    gp = _col_reduce(u, Rf)                           # (1, bw)
+    hp = _col_reduce(u * u, Mf)
 
     @pl.when(im == 0)
     def _init():
@@ -110,8 +128,8 @@ def _vsweep_kernel(Rd_ref, u_ref, g_ref, h_ref):
     Rf = jnp.where(isn, jnp.float32(0), Rf32)
     Mf = (~isn).astype(f32)
     u = u_ref[...]                       # (bm, 1)
-    gp = jnp.sum(u * Rf, axis=0, keepdims=True)
-    hp = jnp.sum((u * u) * Mf, axis=0, keepdims=True)
+    gp = _col_reduce(u, Rf)
+    hp = _col_reduce(u * u, Mf)
 
     @pl.when(im == 0)
     def _init():
@@ -130,8 +148,8 @@ def _usweep_kernel(Rd_ref, v_ref, g_ref, h_ref):
     Rf = jnp.where(isn, jnp.float32(0), Rf32)
     Mf = (~isn).astype(f32)
     v = v_ref[...]                       # (1, bw)
-    gp = jnp.sum(Rf * v, axis=1, keepdims=True)       # (bm, 1)
-    hp = jnp.sum(Mf * (v * v), axis=1, keepdims=True)
+    gp = _row_reduce(Rf, v)                           # (bm, 1)
+    hp = _row_reduce(Mf, v * v)
 
     @pl.when(jw == 0)
     def _init():

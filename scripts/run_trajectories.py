@@ -104,10 +104,12 @@ def main():
     # config); fp8-e4m3 residual STALLS at a visibly worse plateau at 15
     # iters (the residual's ~6% storage quantization feeds back through
     # the rank recursion) — fp8 is therefore opt-in, not the default.
-    for tag, rdt in (("bf16_int8", "bfloat16"),
-                     ("fp8", "float8_e4m3fn")):
+    for tag, rdt, mdt, kern in (("bf16_int8", "bfloat16", "int8", False),
+                                ("fp8", "float8_e4m3fn", "int8", False),
+                                ("bf16_nan_kernel", "bfloat16", "nan", True)):
         cfg_h = Config(k=k, maxiter=maxiter, lambda_=lam, backend="hybrid",
-                       residual_dtype=rdt, mask_dtype="int8",
+                       residual_dtype=rdt, mask_dtype=mdt,
+                       hybrid_panel_kernel=kern,
                        hybrid_dense_cells=2000 * R.cols)
         t0 = time.perf_counter()
         Wh, Hh, sh = get_train_fn(cfg_h.solver, cfg_h.backend)(
@@ -123,7 +125,8 @@ def main():
                                     "rmse_golden": round(b.rmse, 6)}) + "\n")
             f.write(json.dumps({
                 "summary": True, "solver": "ccd",
-                "backend": f"hybrid {rdt} residual + int8 mask",
+                "backend": (f"hybrid {rdt} residual + {mdt} mask"
+                            + (" + pallas panel kernels" if kern else "")),
                 "device": backend, "k": k, "lambda": lam,
                 "maxiter": maxiter,
                 "dataset": "ml1m_like(seed=0) via convert->binfmt",
