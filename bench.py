@@ -5,11 +5,14 @@ Headline metric (round 2): the flagship north-star workload — CCD++ at
 Netflix-100M scale (480k x 17.7k users x items, 100M ratings) on the
 panel-hybrid backend, measured on one chip. Round-1 context: the pure
 padded-ELL path ran this at 80 M rating-updates/s (gather-bound). The
-bf16-residual + int8-mask panel stair (3 B/cell) covers 92.4% of the nnz
-in ~12.6 GB of HBM — the largest GOLDEN-GRADE config (bf16 residual is
-measured RMSE-identical through full convergence). fp8 residual reaches
-663 M updates/s at a 6.5e9-cell stair but stalls at a worse RMSE plateau
-at convergence (results/rmse_trajectory_ml1m_hybrid_fp8.jsonl), so it is
+bf16-residual NaN-SENTINEL stair (mask_dtype="nan": no mask array at all
+— unobserved cells hold NaN in the residual, 2 B/cell total) fits a
+6.5e9-cell stair in ~13 GB covering 97.2% of the nnz — the largest
+GOLDEN-GRADE config (bf16 residual is measured RMSE-identical through
+full convergence; the NaN encoding is bit-identical to an explicit
+mask). Measured 628.7 M rating-updates/s (7.86x round-1). fp8 residual
+reaches 663 M with int8 masks but stalls at a worse RMSE plateau at
+convergence (results/rmse_trajectory_ml1m_hybrid_fp8.jsonl), so it is
 an opt-in screening mode, not the headline.
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
@@ -39,11 +42,16 @@ HBM_BYTES_PER_S = 819e9            # v5e spec
 GATHER_S_PER_ROW = 3.3e-9          # measured paired row-gather issue rate
 
 
-def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int) -> int:
+def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int,
+                                  nan_mask: bool = False) -> int:
     """Residual pass (read resid + read mask + write resid) plus two sweep
     matvec passes (read resid + read mask each). bf16+bf16 -> 14 B;
-    fp8+int8 -> 7 B. Convert passes are NOT modeled — the measured ratio
-    therefore understates true hardware efficiency for sub-f32 dtypes."""
+    fp8+int8 -> 7 B. NaN-sentinel mode has no mask array but each g/h
+    einsum pair reads the residual twice -> 6 residual passes (12 B at
+    bf16). Convert passes are NOT modeled — the measured ratio therefore
+    understates true hardware efficiency for sub-f32 dtypes."""
+    if nan_mask:
+        return 6 * residual_bytes
     return 4 * residual_bytes + 3 * mask_bytes
 
 
@@ -80,9 +88,9 @@ def main() -> None:
         # fp8+int8 at 6.5e9 reaches 663 M but stalls at a worse converged
         # RMSE (trajectory artifact) — opt-in only.
         m, n, nnz, k, iters = 480_189, 17_770, 100_000_000, 40, 3
-        budget = 4_200_000_000
-        rdt_name, mdt_name = "bfloat16", "int8"
-        widths = (4096, 1024)
+        budget = 6_500_000_000
+        rdt_name, mdt_name = "bfloat16", "nan"
+        widths = (4096, 2048)
     else:                               # CPU smoke fallback (tiny)
         m, n, nnz, k, iters = 6_040, 3_706, 900_000, 10, 2
         budget = 2_000 * 3_706
@@ -114,7 +122,8 @@ def main() -> None:
               jnp.asarray(plan.ipos_of_slot_safe),
               jnp.asarray(plan.slot_of_upos), jnp.asarray(plan.slot_of_ipos))
 
-    step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt)
+    step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt,
+                                  nan_mask=mdt_name == "nan")
 
     def run(s):
         return step(idx_r, idx_c, s[0], masks, s[1], s[2], s[3], s[4],
@@ -138,8 +147,10 @@ def main() -> None:
     panel_cells = sum((r1 - r0) * w for r0, r1, w in plan.panels)
     gath_rows = (sum(b.idx.size for b in rows.buckets)
                  + sum(b.idx.size for b in cols.buckets))
+    nan_mask = mdt_name == "nan"
     pbytes = panel_bytes_per_cell_per_rank(
-        jnp.dtype(rdt_name).itemsize, jnp.dtype(mdt_name).itemsize)
+        jnp.dtype(rdt_name).itemsize,
+        0 if nan_mask else jnp.dtype(mdt_name).itemsize, nan_mask=nan_mask)
     roofline_iter = k * (
         panel_cells * pbytes / HBM_BYTES_PER_S
         + gath_rows * GATHER_S_PER_ROW)

@@ -32,6 +32,7 @@ TPU grids are sequential, making this race-free.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +40,9 @@ from jax.experimental import pallas as pl
 
 #: default block shape (rows x cols). 512x1024 bf16 = 1 MB residual block;
 #: with double-buffered in/out aliasing plus f32 temps this stays well
-#: under scoped VMEM.
-BM = 512
-BW = 1024
+#: under scoped VMEM. Env-overridable for block-size sweeps.
+BM = int(os.environ.get("CRTPU_PANEL_BM", "512"))
+BW = int(os.environ.get("CRTPU_PANEL_BW", "1024"))
 
 
 def _round_to_storage(x, dtype):
