@@ -112,11 +112,6 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         return ccd_pallas_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.HYBRID:
         if mesh is not None:
-            if cfg.hybrid_panel_kernel:
-                raise NotImplementedError(
-                    "hybrid_panel_kernel is single-device; the sharded "
-                    "hybrid path uses the XLA panel schedule (drop "
-                    "hybrid_panel_kernel or the mesh)")
             from ..parallel.ccd_hybrid_sharded import ccd_hybrid_train_sharded
             return ccd_hybrid_train_sharded(R, W0, H0, T, cfg, mesh, **kw)
         from ..solvers.ccd_hybrid import ccd_hybrid_train
@@ -154,6 +149,8 @@ def checkpoint_meta(cfg: Config, backend: Backend, mesh) -> dict:
     if backend == Backend.HYBRID:
         meta["hybrid_dense_cells"] = cfg.hybrid_dense_cells
         meta["hybrid_panel_widths"] = list(cfg.hybrid_panel_widths)
+        # panel_kernel block-pads the panel payloads, so it is layout-bearing
+        meta["hybrid_panel_kernel"] = cfg.hybrid_panel_kernel
     return meta
 
 

@@ -90,11 +90,22 @@ def _round_to_storage(x, dtype):
     return x.astype(dt).astype(jnp.float32)
 
 
-def padded_panel_shape(M: int, W: int, bm: int = BM,
-                       bw: int = BW) -> tuple[int, int]:
+def padded_panel_shape(M: int, W: int, bm: int = BM, bw: int = BW,
+                       shards: int = 1) -> tuple[int, int]:
     """Block-aligned allocation shape for a (M, W) panel so the kernels run
     pad-free (an in-loop pad/slice would add two full copy passes per
-    rank). Blocks clamp to the panel dims, so small panels stay small."""
+    rank). Blocks clamp to the panel dims, so small panels stay small.
+
+    ``shards`` > 1 (M must be shards-aligned): each device's LOCAL row
+    block is padded independently, so the global array is the
+    concatenation of N block-aligned local blocks — the layout the
+    sharded hybrid step needs (tail-only padding would shift every
+    device's block boundary)."""
+    if shards > 1:
+        Ml = M // shards
+        bm_ = min(bm, Ml)
+        return (shards * (-(-Ml // bm_) * bm_),
+                padded_panel_shape(Ml, W, bm, bw)[1])
     bm_, bw_ = min(bm, M), min(bw, W)
     return (-(-M // bm_) * bm_, -(-W // bw_) * bw_)
 

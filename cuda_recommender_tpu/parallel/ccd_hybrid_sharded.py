@@ -49,7 +49,16 @@ from .mesh import AXIS
 
 def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                              maxinneriter: int, residual_dtype=jnp.float32,
-                             axis: str = AXIS, nan_mask: bool = False):
+                             axis: str = AXIS, nan_mask: bool = False,
+                             panel_kernel: bool = False):
+    """``panel_kernel``: each device runs the fused Pallas panel passes
+    (ops/panel_pallas.py) on its LOCAL block-padded row block — the
+    residual update is fused into the first v-sweep kernel and the mask is
+    derived in-register from the NaN sentinel; the psum collective pattern
+    is unchanged. Panels must be per-shard block-padded
+    (densify_panels(block_pad=True, num_shards=N))."""
+    if panel_kernel and not nan_mask:
+        raise ValueError("panel_kernel requires nan_mask")
     rows_g, cols_g = plan.ell.rows_side, plan.ell.cols_side
     rows, cols = rows_g.local_view(), cols_g.local_view()
     panels = plan.panels
@@ -60,6 +69,7 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
     m = plan.row_nnz.shape[0]
     n = plan.col_nnz.shape[0]
     f32 = jnp.float32
+    interp = jax.default_backend() == "cpu"
 
     def step_local(idx_r, idx_c, Rds, masks, vals_r, vals_c, W, H,
                    u_pend, v_pend, row_nnz, col_nnz,
@@ -98,18 +108,22 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
             v_old = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
 
             # dense panels: fused deferred-subtract + add-back on the LOCAL
-            # row block of each panel
-            new_Rds = []
-            for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                lr = (r1 - r0) // N
-                delta = (jnp.outer(panel_rows(u_old, r0, lr), v_old[:w])
-                         - jnp.outer(panel_rows(u_pend, r0, lr), v_pend[:w]))
-                if mask is None:     # NaN sentinel absorbs the delta
-                    new_Rds.append(Rd + delta.astype(rdt))
-                else:
-                    new_Rds.append(
-                        Rd + (delta * mask.astype(delta.dtype)).astype(rdt))
-            Rds = tuple(new_Rds)
+            # row block of each panel. In panel_kernel mode the update is
+            # fused INTO the first v-sweep kernel pass instead.
+            if not panel_kernel:
+                new_Rds = []
+                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                    lr = (r1 - r0) // N
+                    delta = (jnp.outer(panel_rows(u_old, r0, lr), v_old[:w])
+                             - jnp.outer(panel_rows(u_pend, r0, lr),
+                                         v_pend[:w]))
+                    if mask is None:     # NaN sentinel absorbs the delta
+                        new_Rds.append(Rd + delta.astype(rdt))
+                    else:
+                        new_Rds.append(
+                            Rd
+                            + (delta * mask.astype(delta.dtype)).astype(rdt))
+                Rds = tuple(new_Rds)
 
             u, v = u_old, v_old
             Gr_new = None
@@ -118,16 +132,36 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 # ONE psum makes (g, h) global ----
                 g = jnp.zeros(n, f32)
                 h = jnp.zeros(n, f32)
-                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                    lr = (r1 - r0) // N
-                    ul = panel_rows(u, r0, lr)
-                    Rf, Mf = panel_view(Rd, mask)
-                    gp = jnp.einsum("m,mn->n", ul, Rf,
-                                    preferred_element_type=f32)
-                    hp = jnp.einsum("m,mn->n", ul * ul, Mf,
-                                    preferred_element_type=f32)
-                    g = g.at[:w].add(gp)
-                    h = h.at[:w].add(hp)
+                if panel_kernel:
+                    from ..ops.panel_pallas import (panel_update_vsweep,
+                                                    panel_vsweep)
+                    new_Rds = list(Rds)
+                    for pi, (r0, r1, w) in enumerate(panels):
+                        Rd = new_Rds[pi]
+                        lr = (r1 - r0) // N      # entity rows per device
+                        if i == 0:
+                            Rd, gp, hp = panel_update_vsweep(
+                                Rd, panel_rows(u_old, r0, lr),
+                                panel_rows(u_pend, r0, lr),
+                                v_old[:w], v_pend[:w], interpret=interp)
+                            new_Rds[pi] = Rd
+                        else:
+                            gp, hp = panel_vsweep(
+                                Rd, panel_rows(u, r0, lr), interpret=interp)
+                        g = g.at[:w].add(gp[:w])
+                        h = h.at[:w].add(hp[:w])
+                    Rds = tuple(new_Rds)
+                else:
+                    for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                        lr = (r1 - r0) // N
+                        ul = panel_rows(u, r0, lr)
+                        Rf, Mf = panel_view(Rd, mask)
+                        gp = jnp.einsum("m,mn->n", ul, Rf,
+                                        preferred_element_type=f32)
+                        hp = jnp.einsum("m,mn->n", ul * ul, Mf,
+                                        preferred_element_type=f32)
+                        g = g.at[:w].add(gp)
+                        h = h.at[:w].add(hp)
                 if have_light:
                     if i == 0:
                         pc = paired_gather(
@@ -157,16 +191,25 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 # ---- u-sweep ----
                 gu = jnp.zeros(m, f32)
                 hu = jnp.zeros(m, f32)
-                for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
-                    lr = (r1 - r0) // N
-                    Rf, Mf = panel_view(Rd, mask)
-                    gp = jnp.einsum("mn,n->m", Rf, v[:w],
-                                    preferred_element_type=f32)
-                    hp = jnp.einsum("mn,n->m", Mf,
-                                    v[:w] * v[:w], preferred_element_type=f32)
-                    off = r0 + d * lr
-                    gu = jax.lax.dynamic_update_slice(gu, gp, (off,))
-                    hu = jax.lax.dynamic_update_slice(hu, hp, (off,))
+                if panel_kernel:
+                    from ..ops.panel_pallas import panel_usweep
+                    for (r0, r1, w), Rd in zip(panels, Rds):
+                        lr = (r1 - r0) // N
+                        gp, hp = panel_usweep(Rd, v[:w], interpret=interp)
+                        off = r0 + d * lr
+                        gu = jax.lax.dynamic_update_slice(gu, gp[:lr], (off,))
+                        hu = jax.lax.dynamic_update_slice(hu, hp[:lr], (off,))
+                else:
+                    for (r0, r1, w), Rd, mask in zip(panels, Rds, masks):
+                        lr = (r1 - r0) // N
+                        Rf, Mf = panel_view(Rd, mask)
+                        gp = jnp.einsum("mn,n->m", Rf, v[:w],
+                                        preferred_element_type=f32)
+                        hp = jnp.einsum("mn,n->m", Mf, v[:w] * v[:w],
+                                        preferred_element_type=f32)
+                        off = r0 + d * lr
+                        gu = jax.lax.dynamic_update_slice(gu, gp, (off,))
+                        hu = jax.lax.dynamic_update_slice(hu, hp, (off,))
                 if have_light:
                     if i == 0:
                         pr = paired_gather(
@@ -237,7 +280,9 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     idx_r = tuple(jax.device_put(b.idx, shard) for b in rows_g.buckets)
     idx_c = tuple(jax.device_put(b.idx, shard) for b in cols_g.buckets)
     dense_Rds, masks = densify_panels(plan, rdt, sharding=shard,
-                                      mask_dtype=cfg.mask_dtype)
+                                      mask_dtype=cfg.mask_dtype,
+                                      block_pad=cfg.hybrid_panel_kernel,
+                                      num_shards=N)
 
     W0 = np.asarray(W0, np.float32)
     start_oiter = 1
@@ -287,7 +332,8 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     step_fn = make_sharded_hybrid_step(plan, mesh, cfg.lambda_,
                                        cfg.maxinneriter, residual_dtype=rdt,
-                                       nan_mask=cfg.mask_dtype == "nan")
+                                       nan_mask=cfg.mask_dtype == "nan",
+                                       panel_kernel=cfg.hybrid_panel_kernel)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

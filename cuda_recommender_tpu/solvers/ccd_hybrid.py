@@ -250,7 +250,8 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
 
 
 def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
-                   mask_dtype=jnp.bfloat16, block_pad: bool = False):
+                   mask_dtype=jnp.bfloat16, block_pad: bool = False,
+                   num_shards: int = 1):
     """Device-side scatter of each panel's COO into its (rows, w) residual
     block + mask — ONE jitted scatter per panel (a fused all-panel
     scatter holds every output AND its zeros-init live at once; measured OOM
@@ -265,7 +266,10 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
     returned as an EMPTY tuple (the step derives the mask in-register).
     ``block_pad`` (NaN mode only) allocates each panel at the Pallas
     block-aligned shape (ops/panel_pallas.padded_panel_shape) — pad cells
-    are NaN, i.e. unobserved, so the math is unchanged."""
+    are NaN, i.e. unobserved, so the math is unchanged. With
+    ``num_shards`` > 1 each device's LOCAL row block is padded
+    independently (global layout = concat of N aligned local blocks), and
+    the scatter's row indices are remapped into that layout."""
     rdt = jnp.dtype(residual_dtype)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -282,7 +286,11 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
         rows_, w_ = r1 - r0, w
         if block_pad:
             from ..ops.panel_pallas import padded_panel_shape
-            rows_, w_ = padded_panel_shape(rows_, w_)
+            rows_, w_ = padded_panel_shape(rows_, w_, shards=num_shards)
+            if num_shards > 1:
+                lr_ent = (r1 - r0) // num_shards
+                lrp = rows_ // num_shards
+                lr = (lr // lr_ent) * lrp + lr % lr_ent
         Rd, Md = _one(jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(lv),
                       rows_, w_)
         jax.block_until_ready(Rd)          # finish before the next scatter

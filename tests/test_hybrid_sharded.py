@@ -58,6 +58,28 @@ def test_sharded_hybrid_nan_mask_matches_single(small_data):
         assert abs(a.rmse - b.rmse) < 1e-5
 
 
+def test_sharded_hybrid_panel_kernel_matches_single(small_data):
+    """Fused Pallas panel passes under shard_map (per-device local blocks,
+    interpret mode on CPU): sharded+kernel == single-device+kernel ==
+    single-device XLA schedule."""
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    base = dict(k=K, maxiter=3, maxinneriter=2, lambda_=0.1,
+                backend="hybrid", hybrid_dense_cells=100 * R.cols,
+                hybrid_panel_widths=(32, 16), mask_dtype="nan")
+    Wx, Hx, _ = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
+                                 Config(**base))
+    cfg = Config(hybrid_panel_kernel=True, **base)
+    W1, H1, s1 = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    W8, H8, s8 = ccd_hybrid_train_sharded(R, W0.copy(), H0.copy(), T, cfg,
+                                          make_mesh())
+    np.testing.assert_allclose(W1, Wx, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(W1, W8, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(H1, H8, atol=2e-5, rtol=1e-4)
+    for a, b in zip(s1, s8):
+        assert abs(a.rmse - b.rmse) < 1e-5
+
+
 def test_sharded_hybrid_through_trainer(small_data):
     from cuda_recommender_tpu.core.trainer import train
     R, T = small_data
