@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hybrid-cells", type=int, default=None, metavar="N",
                    help="hybrid panel-stair cell budget "
                         "(default Config.hybrid_dense_cells)")
+    p.add_argument("--panel-kernel", action="store_true", dest="panel_kernel",
+                   help="run the hybrid backend's dense panels through the "
+                        "fused Pallas kernels (requires --mask-dtype nan; "
+                        "single-device or sharded)")
     # io
     p.add_argument("data_dir", nargs="?", default=None)
     p.add_argument("--dataset", default=None,
@@ -123,6 +127,7 @@ def main(argv=None) -> int:
         mask_dtype=args.mask_dtype,
         fused_outer_iters=args.fused_iters,
         phase_timing=args.phase_timing,
+        hybrid_panel_kernel=args.panel_kernel,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_file=args.metrics_file,
