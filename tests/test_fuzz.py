@@ -12,6 +12,7 @@ from cuda_recommender_tpu.eval.metrics import golden_compare
 from cuda_recommender_tpu.solvers.als_ell import als_ell_train
 from cuda_recommender_tpu.solvers.ccd_dense import ccd_dense_train
 from cuda_recommender_tpu.solvers.ccd_ell import ccd_ell_train
+from cuda_recommender_tpu.solvers.ccd_hybrid import ccd_hybrid_train
 from cuda_recommender_tpu.solvers.reference import als_reference, ccd_reference
 
 CASES = [
@@ -29,11 +30,19 @@ def test_ccd_backends_fuzz(m, n, nnz, k, lam, inner, pl):
     Wr, Hr = W0.copy(), H0.copy()
     ccd_reference(R, Wr, Hr, T, lambda_=lam, maxiter=2, maxinneriter=inner)
     cfg = Config(k=k, maxiter=2, maxinneriter=inner, lambda_=lam)
-    for backend in ("dense", "ell"):
+    for backend in ("dense", "ell", "hybrid-kernel"):
+        extra = {}
+        if backend == "hybrid-kernel":
+            # fused Pallas panel path (interpret mode on CPU) across the
+            # same random config space
+            extra = dict(mask_dtype="nan", hybrid_panel_kernel=True,
+                         hybrid_dense_cells=(m // 2) * n,
+                         hybrid_panel_widths=(max(8, n // 4),))
         cfg2 = Config(k=k, maxiter=2, maxinneriter=inner, lambda_=lam,
-                      backend=backend)
-        W, H, _ = (ccd_dense_train if backend == "dense" else ccd_ell_train)(
-            R, W0.copy(), H0.copy(), T, cfg2)
+                      backend=backend.split("-")[0], **extra)
+        trainer = {"dense": ccd_dense_train, "ell": ccd_ell_train,
+                   "hybrid": ccd_hybrid_train}[backend.split("-")[0]]
+        W, H, _ = trainer(R, W0.copy(), H0.copy(), T, cfg2)
         g = golden_compare(W, Wr, atol=1e-3)
         assert g.passed, f"{backend} {g.message()}"
         assert golden_compare(H, Hr, atol=1e-3).passed
