@@ -70,10 +70,17 @@ class RatingMatrix:
 
 
 def from_coo(rows: int, cols: int, row_idx, col_idx, val) -> RatingMatrix:
-    """Build dual CSR+CSC from COO triples (duplicates not merged, like the ref)."""
-    row_idx = np.asarray(row_idx, dtype=np.int64)
-    col_idx = np.asarray(col_idx, dtype=np.int64)
-    val = np.asarray(val, dtype=np.float32)
+    """Build dual CSR+CSC from COO triples (duplicates not merged, like the
+    ref). Stable by construction: column order within a row (and row order
+    within a column) is the COO input order. The grouping runs through the
+    native OpenMP counting sort when available (~1-2 s at Netflix-100M vs
+    tens of seconds for a stable argsort), NumPy otherwise — byte-identical
+    either way (native/groupsort.py)."""
+    from ..native.groupsort import perm_gather, stable_perm
+
+    row_idx = np.ascontiguousarray(row_idx, dtype=np.int32)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    val = np.ascontiguousarray(val, dtype=np.float32)
     if not (row_idx.shape == col_idx.shape == val.shape):
         raise ValueError("COO arrays must have matching shapes")
     if row_idx.size and (row_idx.min() < 0 or row_idx.max() >= rows):
@@ -81,20 +88,10 @@ def from_coo(rows: int, cols: int, row_idx, col_idx, val) -> RatingMatrix:
     if col_idx.size and (col_idx.min() < 0 or col_idx.max() >= cols):
         raise ValueError("col index out of range")
 
-    # CSR: stable sort by row (keeps column order within a row as given)
-    order_r = np.argsort(row_idx, kind="stable")
-    csr_ptr = np.zeros(rows + 1, dtype=np.int64)
-    np.add.at(csr_ptr, row_idx + 1, 1)
-    csr_ptr = np.cumsum(csr_ptr)
-    csr_idx = col_idx[order_r].astype(np.int32)
-    csr_val = val[order_r]
-
-    order_c = np.argsort(col_idx, kind="stable")
-    csc_ptr = np.zeros(cols + 1, dtype=np.int64)
-    np.add.at(csc_ptr, col_idx + 1, 1)
-    csc_ptr = np.cumsum(csc_ptr)
-    csc_idx = row_idx[order_c].astype(np.int32)
-    csc_val = val[order_c]
+    csr_ptr, order_r = stable_perm(row_idx, rows)
+    csr_idx, csr_val = perm_gather(order_r, col_idx, val)
+    csc_ptr, order_c = stable_perm(col_idx, cols)
+    csc_idx, csc_val = perm_gather(order_c, row_idx, val)
 
     return RatingMatrix(rows, cols, csr_ptr, csr_idx, csr_val,
                         csc_ptr, csc_idx, csc_val)

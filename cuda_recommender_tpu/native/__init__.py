@@ -1,10 +1,12 @@
-"""Native (C++) host tooling: text parsing and ELL packing.
+"""Native (C++) host tooling: text parsing, ELL packing, and grouping.
 
 The reference's only native host code is its C++ driver/loader stack
 (/root/reference/src/*.cpp); the TPU framework keeps Python as the host
-program and pushes the two data-preparation hot paths to C++ via a small
+program and pushes the data-preparation hot paths to C++ via a small
 ctypes-bound shared library, with transparent NumPy fallbacks when the
-toolchain is unavailable.
+toolchain is unavailable: text-ratings parsing (textparse), padded-ELL
+bucket fill (ellfill), and the stable counting sort behind the dual
+CSR+CSC build and the hybrid panel split (groupsort).
 
 Build: ``python -m cuda_recommender_tpu.native.build`` (or automatic on first
 import when g++ is present — a ~1 s compile, cached next to this file).
@@ -19,7 +21,8 @@ import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libcrtpu_native.so")
-_SRC = [os.path.join(_DIR, "src", f) for f in ("textparse.cpp", "ellfill.cpp")]
+_SRC = [os.path.join(_DIR, "src", f)
+        for f in ("textparse.cpp", "ellfill.cpp", "groupsort.cpp")]
 
 _lib = None
 
@@ -65,6 +68,12 @@ def lib() -> ctypes.CDLL:
     L.crtpu_ell_fill.restype = None
     L.crtpu_ell_fill.argtypes = [i64, i32, f32, i32, i64,
                                  c, c, c, c, c, c, ctypes.c_int32, i32, f32]
+    L.crtpu_key_count.restype = None
+    L.crtpu_key_count.argtypes = [i32, c, c, i64]
+    L.crtpu_stable_perm.restype = None
+    L.crtpu_stable_perm.argtypes = [i32, c, c, i64, i64]
+    L.crtpu_perm_gather.restype = None
+    L.crtpu_perm_gather.argtypes = [i64, c, i32, f32, i32, f32]
     _lib = L
     return L
 

@@ -65,6 +65,7 @@ from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO, from_coo
 from ..eval.metrics import calrmse_device, default_eval_chunk
+from ..native.groupsort import key_count, perm_gather, stable_perm
 from ..ops.densify import densify_coo
 from ..ops.ell_ops import (extend_zero, paired_gather, residual_update,
                            sweep_partials)
@@ -181,16 +182,29 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
     item_pos[item_order] = np.arange(n)
 
     r, c, v = R.to_coo()
-    rp = user_pos[r]
-    cp = item_pos[c]
+    rp = user_pos.astype(np.int32)[r]
+    cp = item_pos.astype(np.int32)[c]
 
     widths = [n] + sorted({min(int(w), n) for w in cfg.hybrid_panel_widths
                            if 0 < int(w) < n}, reverse=True)
     # coverage prefix per width: P_w[x] = nnz of the x top users inside the
-    # top-w items
+    # top-w items. One fused histogram over (user position x width class)
+    # replaces a boolean-select + bincount pass per width (native OpenMP
+    # counting path when available, np.bincount otherwise — identical).
+    sub = np.asarray(widths[:0:-1], dtype=np.int64)        # ascending, < n
+    ncls = sub.size + 1
+    # class id by comparison chain: np.searchsorted over a 100M-element
+    # int32 array against an int64 needle list measured ~16 s (dtype
+    # promotion + generic binary search); |sub| compare-add passes are ~1 s
+    key = rp * np.int32(ncls)
+    for t in sub:
+        key += cp >= np.int32(t)
+    counts2d = key_count(key, m * ncls).reshape(m, ncls)
+    csum = np.cumsum(counts2d, axis=1)     # csum[:, i]: nnz with cp < sub[i]
     prefixes = []
-    for w in widths:
-        cov = np.bincount(rp[cp < w], minlength=m)
+    for w in widths:                       # descending, n first
+        cov = (csum[:, ncls - 1] if w >= n
+               else csum[:, int(np.searchsorted(sub, w))])
         prefixes.append(np.concatenate([[0], np.cumsum(cov)]))
 
     align = 8 * num_shards // np.gcd(8, num_shards)     # lcm(8, N)
@@ -205,17 +219,26 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
             panels.append((r_prev, rb, w))
             r_prev = rb
 
-    # split COO: panel cells vs sparse remainder
-    width_of_pos = np.zeros(m, np.int64)
-    for r0, r1, w in panels:
-        width_of_pos[r0:r1] = w
-    in_panel = cp < width_of_pos[rp]
+    # split COO: panel cells vs sparse remainder — ONE stable partition by
+    # panel id (remainder last) instead of a boolean-mask cascade per panel;
+    # within each group the COO (CSR) order is preserved, byte-identical to
+    # the mask formulation.
+    P = len(panels)
+    wband = np.asarray([w for _, _, w in panels] + [0], dtype=np.int32)
+    band = np.zeros(rp.size, np.int32)
+    for _, r1, _ in panels:                # <= a few compare-add passes
+        band += rp >= np.int32(r1)
+    pkey = np.where(cp < wband[band], band, np.int32(P))
+    gptr, perm = stable_perm(pkey, P + 1)
+    rp_s = rp[perm]
+    cp_s, v_s = perm_gather(perm, cp, np.ascontiguousarray(v, np.float32))
+
     Rd, Md, panel_coo = [], [], []
-    for r0, r1, w in panels:
-        sel = in_panel & (rp >= r0) & (rp < r1)
-        lr = (rp[sel] - r0).astype(np.int32)
-        lc = cp[sel].astype(np.int32)
-        lv = v[sel].astype(np.float32)
+    for p, (r0, r1, w) in enumerate(panels):
+        seg = slice(gptr[p], gptr[p + 1])
+        lr = (rp_s[seg] - r0).astype(np.int32)
+        lc = cp_s[seg]
+        lv = v_s[seg]
         if materialize_dense:
             A = np.zeros((r1 - r0, w), np.float32)
             M = np.zeros((r1 - r0, w), np.float32)
@@ -226,8 +249,8 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
         else:
             panel_coo.append((lr, lc, lv))
 
-    light = ~in_panel
-    R_light = from_coo(m, n, rp[light], cp[light], v[light].astype(np.float32))
+    lseg = slice(gptr[P], gptr[P + 1])
+    R_light = from_coo(m, n, rp_s[lseg], cp_s[lseg], v_s[lseg])
     ell = build_ell_pair(R_light, min_width=cfg.ell_min_width,
                          num_shards=num_shards, index_space="entity")
     rows, cols = ell.rows_side, ell.cols_side
@@ -235,7 +258,7 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
     return HybridPlan(
         user_order=user_order, item_order=item_order,
         user_pos=user_pos, item_pos=item_pos,
-        panels=tuple(panels), ell=ell, nnz_light=int(light.sum()),
+        panels=tuple(panels), ell=ell, nnz_light=int(gptr[P + 1] - gptr[P]),
         Rd=tuple(Rd), Md=tuple(Md),
         row_nnz=deg_u[user_order].astype(np.float32),
         col_nnz=deg_i[item_order].astype(np.float32),

@@ -47,3 +47,49 @@ def test_ell_fill_matches_python(small_data, monkeypatch):
         for bn, bp in zip(side_n.buckets, side_p.buckets):
             np.testing.assert_array_equal(bn.idx, bp.idx)
             np.testing.assert_array_equal(bn.val, bp.val)
+
+
+def test_groupsort_matches_numpy():
+    """key_count == bincount; stable_perm == stable argsort (ties in input
+    order — the property from_coo's CSR/CSC build relies on); perm_gather
+    == fancy indexing. Exercises the >=2^16 native path and the small
+    NumPy-fallback path."""
+    from cuda_recommender_tpu.native.groupsort import (key_count, perm_gather,
+                                                       stable_perm)
+    rng = np.random.default_rng(7)
+    for nnz, nk in [(0, 3), (37, 5), (1 << 16, 11), (200_000, 4813)]:
+        keys = rng.integers(0, nk, size=nnz).astype(np.int32)
+        np.testing.assert_array_equal(
+            key_count(keys, nk), np.bincount(keys, minlength=nk))
+        ptr, perm = stable_perm(keys, nk)
+        np.testing.assert_array_equal(perm, np.argsort(keys, kind="stable"))
+        np.testing.assert_array_equal(
+            ptr, np.concatenate([[0], np.cumsum(np.bincount(keys,
+                                                            minlength=nk))]))
+        idx = rng.integers(0, 99, size=nnz).astype(np.int32)
+        val = rng.standard_normal(nnz).astype(np.float32)
+        gi, gv = perm_gather(perm, idx, val)
+        np.testing.assert_array_equal(gi, idx[perm])
+        np.testing.assert_array_equal(gv, val[perm])
+
+
+def test_from_coo_native_matches_fallback(monkeypatch):
+    """The dual CSR+CSC build must be byte-identical with and without the
+    native counting sort, including duplicate (row, col) entries (kept, not
+    merged — reference parity)."""
+    from cuda_recommender_tpu.data.sparse import from_coo
+    from cuda_recommender_tpu.native import groupsort
+
+    rng = np.random.default_rng(3)
+    nnz, m, n = 70_000, 301, 57          # below the native threshold? force:
+    monkeypatch.setattr(groupsort, "_NATIVE_MIN", 1)
+    r = rng.integers(0, m, size=nnz).astype(np.int32)
+    c = rng.integers(0, n, size=nnz).astype(np.int32)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    r[10:20] = r[0]; c[10:20] = c[0]     # guaranteed duplicates
+    A = from_coo(m, n, r, c, v)
+    monkeypatch.setattr(groupsort, "available", lambda: False)
+    B = from_coo(m, n, r, c, v)
+    for f in ("csr_ptr", "csr_idx", "csr_val", "csc_ptr", "csc_idx",
+              "csc_val"):
+        np.testing.assert_array_equal(getattr(A, f), getattr(B, f))
