@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "real measurement (reference per-phase timers); with "
                         "-q 1 also prints per-rank residual RMSE")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None, metavar="NAME",
+                   help="force the JAX platform (e.g. 'cpu'); needed because "
+                        "plugin backends can override the JAX_PLATFORMS env "
+                        "var. Env fallback: CRTPU_PLATFORM.")
     p.add_argument("--residual-dtype", default="float32",
                    choices=["float32", "bfloat16", "float8_e4m3fn"])
     p.add_argument("--mask-dtype", default="bfloat16",
@@ -115,7 +119,15 @@ def load_data(args):
 
 
 def main(argv=None) -> int:
+    import os
     args = build_parser().parse_args(argv)
+    platform = args.platform or os.environ.get("CRTPU_PLATFORM")
+    if platform:
+        # Must land before any device use. The JAX_PLATFORMS env var is NOT
+        # sufficient: PJRT plugin site hooks (e.g. the tunneled-TPU plugin)
+        # can re-register themselves over it; the in-process config wins.
+        import jax
+        jax.config.update("jax_platforms", platform)
     cfg = Config(
         solver=Solver.ALS if args.als else Solver.CCD,
         k=args.k, maxiter=args.maxiter, maxinneriter=args.maxinneriter,

@@ -131,7 +131,7 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
             _gj_kernel_dma,
             grid=(Sp // block_s,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((k, block_s), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
