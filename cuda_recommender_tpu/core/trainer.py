@@ -139,6 +139,10 @@ def checkpoint_meta(cfg: Config, backend: Backend, mesh) -> dict:
     depends on are stamped (a dense resume must not be rejected for an
     irrelevant ELL knob)."""
     meta: dict = {
+        # slot-layout algorithm version: 2 = data-driven width ladder
+        # (data/ell.py _choose_widths); bumping invalidates older slot-space
+        # checkpoints loudly instead of remapping them silently wrong
+        "ell_layout": 2,
         "k": cfg.k,
         "num_shards": int(mesh.devices.size) if mesh is not None else 1,
     }

@@ -83,17 +83,41 @@ def test_ell_shard_uniformity(small_data):
         for b in side.buckets:
             assert b.rows == 4 * b.rows_per_shard
             assert b.idx.shape == b.val.shape
-            assert b.idx.shape[1] == max(b.E, 128)
-            assert b.E * b.p == min(b.E * b.p, 128) or b.p == 1
+            assert b.idx.shape[1] == b.E * b.p   # L = p*E, all lanes slot-owned
+            assert b.E * b.p <= 128 or b.p == 1
 
 
 def test_ell_padding_bounded(small_data):
     R, _ = small_data
     pair = build_ell_pair(R)
     for side in (pair.rows_side, pair.cols_side):
-        # pow2 bucketing: padded nnz < 2x true nnz + lane-packing slack
+        # data-driven ladder: never worse than the 2x pow2 bound
         slack = sum(b.p * b.E for b in side.buckets) * 8  # row-padding bound
         assert side.nnz_padded <= 2 * pair.nnz + slack
+
+
+def test_ell_width_ladder_optimality():
+    """The DP ladder (data/ell.py _choose_widths) must not exceed the
+    power-of-two ladder's padding, and each entity's bucket width must
+    cover its degree (floored at min_width)."""
+    from cuda_recommender_tpu.data.ell import _choose_widths, _plan_buckets
+    rng = np.random.default_rng(7)
+    deg = rng.zipf(1.7, size=4000).clip(max=5000).astype(np.int64)
+    deg[rng.integers(0, 4000, 50)] = 0                 # some empty entities
+    min_width = 8
+    eff = np.maximum(deg[deg > 0], min_width)
+    ladder = _choose_widths(eff, max_buckets=12)
+    assert ladder.size <= 12 and int(ladder[-1]) == int(eff.max())
+    cost = ladder[np.searchsorted(ladder, eff)].sum()
+    pow2 = np.asarray([1 << b for b in range(3, 14)])
+    cost_pow2 = pow2[np.searchsorted(pow2, eff)].sum()
+    assert cost <= cost_pow2
+    plan, empty = _plan_buckets(deg, min_width)
+    assert empty.size == int((deg == 0).sum())
+    covered = np.concatenate([ids for _, ids in plan])
+    assert sorted(covered) == sorted(np.where(deg > 0)[0])
+    for E, ids in plan:
+        assert (np.maximum(deg[ids], min_width) <= E).all()
 
 
 def test_synthetic_shapes():
