@@ -41,7 +41,12 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (int(x) - 1).bit_length())
 
 
-MAX_BUCKETS = 12   # default width-ladder size (see _choose_widths)
+MAX_BUCKETS = 8    # default width-ladder size (see _choose_widths). Measured
+                   # tradeoff at the Netflix-100M hybrid tail: padding 1.44x
+                   # (pow2, 4-5 buckets) -> 1.05/1.10x at B=8 -> 1.03/1.07x at
+                   # B=12; each bucket adds a gather + reduce op per sweep to
+                   # the traced program (remote compile is 2-4 min/program
+                   # through the tunnel, so op count is a real cost).
 
 
 def _choose_widths(deg_eff: np.ndarray, max_buckets: int) -> np.ndarray:
