@@ -58,6 +58,12 @@ def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int,
 def main() -> None:
     import jax
 
+    if os.environ.get("CRTPU_PLATFORM"):
+        # local CPU smoke escape hatch: plugin backends (the tunneled TPU)
+        # override the JAX_PLATFORMS env var, and a wedged tunnel hangs
+        # backend init; the in-process config wins
+        jax.config.update("jax_platforms", os.environ["CRTPU_PLATFORM"])
+
     if jax.default_backend() not in ("cpu",):
         # persistent cache (measured 115 s cold -> 0.8 s warm through the
         # tunneled remote compiler); TPU-only — stale CPU AOT entries warn
