@@ -120,6 +120,25 @@ def test_ell_width_ladder_optimality():
         assert (np.maximum(deg[ids], min_width) <= E).all()
 
 
+def test_ell_width_ladder_edge_cases():
+    from cuda_recommender_tpu.data.ell import _choose_widths
+    # all-equal degrees -> a single exact width
+    lad = _choose_widths(np.full(100, 37, np.int64), max_buckets=8)
+    assert lad.tolist() == [37]
+    # a single entity
+    assert _choose_widths(np.asarray([9], np.int64), 8).tolist() == [9]
+    # fewer unique degrees than buckets -> every width exact (zero padding)
+    eff = np.asarray([8, 8, 12, 50, 50, 50, 1000], np.int64)
+    lad = _choose_widths(eff, max_buckets=8)
+    assert lad.tolist() == [8, 12, 50, 1000]
+    # huge spread with subsampled candidates still covers the max
+    rng = np.random.default_rng(3)
+    eff = rng.integers(8, 200_000, size=20_000).astype(np.int64)
+    lad = _choose_widths(eff, max_buckets=6)
+    assert lad.size <= 6 and lad[-1] >= eff.max()
+    assert (lad[np.searchsorted(lad, eff)] >= eff).all()
+
+
 def test_synthetic_shapes():
     R, T = datasets.synthetic(m=100, n=50, nnz=1000, seed=1)
     assert R.rows == 100 and R.cols == 50
