@@ -44,7 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save model + write predictions after training")
     p.add_argument("-q", type=int, default=0, dest="verbose")
     p.add_argument("-N", type=int, default=0, dest="do_nmf",
-                   help="NMF flag (parsed but unused, reference parity)")
+                   help="nonnegative MF: clamp CCD++ rank-one updates at 0 "
+                        "(libpmf semantics; the reference parses -N but "
+                        "never uses it)")
     p.add_argument("-ALS", action="store_true", dest="als",
                    help="use ALS instead of CCD++")
     p.add_argument("-OMP", action="store_true", dest="golden",

@@ -10,9 +10,13 @@ path, or both with cross-validation).
 Reference quirks preserved deliberately:
   * ``maxinneriter`` defaults to 1 (the code default at src/pmf.h:31, not the help
     text's claimed 5 at src/extras.cpp:54).
-  * ``eps``, ``do_nmf`` and ``do_predict`` exist but no solver consumes ``eps`` or
-    ``do_nmf`` (they are dead in the reference too); ``do_predict`` only forces
-    ``verbose`` (src/extras.cpp:130-132).
+  * ``eps`` exists but no solver consumes it (dead in the reference too);
+    ``do_predict`` only forces ``verbose`` (src/extras.cpp:130-132).
+  * ``do_nmf`` (-N) is parsed-but-dead in the reference (src/pmf.h:33, no use
+    anywhere in src/). HERE it is implemented with the original libpmf CCD++
+    semantics the flag was copied from: every rank-one update is clamped at 0,
+    giving nonnegative factors. CCD++ only — the reference/libpmf ALS has no
+    NMF path, so ALS ignores it like the reference does.
 """
 
 from __future__ import annotations
@@ -59,7 +63,7 @@ class Config:
     eps: float = 1e-3                      # -e; parsed but unused (parity)
     do_predict: bool = False               # -p; forces verbose (parity)
     verbose: bool = False                  # -q
-    do_nmf: bool = False                   # -N; parsed but unused (parity)
+    do_nmf: bool = False                   # -N; nonnegative CCD++ (libpmf semantics)
     threads: int = 4                       # -n; meaningless on TPU, kept for parity
 
     # --- TPU runtime knobs (replace nBlocks/nThreadsPerBlock) ---

@@ -176,7 +176,7 @@ def _run_reference(cfg: Config, R, W0, H0, T, log):
                               maxiter=cfg.maxiter, callback=cb)
     else:
         stats = ccd_reference(R, W, H, T, lambda_=cfg.lambda_,
-                              maxiter=cfg.maxiter,
+                              maxiter=cfg.maxiter, nmf=cfg.do_nmf,
                               maxinneriter=cfg.maxinneriter, callback=cb)
     return W, H, stats
 

@@ -55,11 +55,14 @@ def bucket_slot_ranges(side: EllSide) -> list[tuple[int, int]]:
 
 def sweep_new_values(idx_tiles, val_tiles, side: EllSide, other_ext: jnp.ndarray,
                      lam: jnp.ndarray, slot_nnz: jnp.ndarray,
-                     gathered=None) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+                     gathered=None,
+                     nmf: bool = False) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
     """One CCD half-sweep over a side: for every slot j,
     new_j = g_j / (lam*nnz_j + h_j), g = Σ other[idx]*val, h = Σ other[idx]²
     (RankOneUpdate, src/CCD.cpp:6-16; λ nnz-scaled by the caller passing
     lam*slot_nnz implicitly via slot_nnz here). Empty slot -> 0 (src/CCD.cpp:8).
+    ``nmf`` clamps updates at 0 (libpmf -N semantics; dead flag in the
+    reference, src/pmf.h:33).
 
     Returns (new_slot_values (n_slots,), per-bucket gathered other tiles for
     reuse by a following residual update with the same vector).
@@ -77,7 +80,8 @@ def sweep_new_values(idx_tiles, val_tiles, side: EllSide, other_ext: jnp.ndarray
     if not side.buckets:
         return jnp.zeros(side.n_slots, jnp.float32), gathers
     new_vals = jnp.concatenate(outs + ([jnp.zeros(tail, outs[0].dtype)] if tail else []))
-    return jnp.where(slot_nnz > 0, new_vals, 0.0), gathers
+    new_vals = jnp.where(slot_nnz > 0, new_vals, 0.0)
+    return (jnp.maximum(new_vals, 0.0) if nmf else new_vals), gathers
 
 
 def paired_gather(pair_ext: jnp.ndarray, idx_tiles) -> list:

@@ -38,7 +38,8 @@ from .mesh import AXIS, ell_shardings
 
 
 def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
-                          maxinneriter: int, axis: str = AXIS):
+                          maxinneriter: int, axis: str = AXIS,
+                          nmf: bool = False):
     rows, cols = ell.rows_side.local_view(), ell.cols_side.local_view()
     lam_ = jnp.float32(lam)
 
@@ -67,10 +68,11 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
                     vals_c = residual_update(idx_c, vals_c, cols, None, v_old,
                                              +1.0, gathered=[g[..., 1] for g in Gc])
                     v, _ = sweep_new_values(idx_c, vals_c, cols, None, lam_,
-                                            nnz_c, gathered=[g[..., 1] for g in Gc])
+                                            nnz_c, gathered=[g[..., 1] for g in Gc], nmf=nmf)
                 else:
                     v, _ = sweep_new_values(idx_c, vals_c, cols,
-                                            gather_full(u), lam_, nnz_c)
+                                            gather_full(u), lam_, nnz_c,
+                                            nmf=nmf)
                 if i == 0:
                     stacked = extend_zero(jax.lax.all_gather(
                         jnp.stack([v_old, v], axis=-1), axis, axis=0, tiled=True))
@@ -78,10 +80,11 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
                     vals_r = residual_update(idx_r, vals_r, rows, None, u_old,
                                              +1.0, gathered=[g[..., 0] for g in G])
                     u, vg = sweep_new_values(idx_r, vals_r, rows, None, lam_,
-                                             nnz_r, gathered=[g[..., 1] for g in G])
+                                             nnz_r, gathered=[g[..., 1] for g in G], nmf=nmf)
                 else:
                     u, vg = sweep_new_values(idx_r, vals_r, rows,
-                                             gather_full(v), lam_, nnz_r)
+                                             gather_full(v), lam_, nnz_r,
+                                             nmf=nmf)
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
             vals_r = residual_update(idx_r, vals_r, rows, None, u, -1.0,
@@ -152,7 +155,8 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tj = jax.device_put(cols.slot_of_entity[T.col_idx], rep)
     tv = jax.device_put(np.asarray(T.val), rep)
 
-    step = make_sharded_ell_step(ell, mesh, cfg.lambda_, cfg.maxinneriter)
+    step = make_sharded_ell_step(ell, mesh, cfg.lambda_,
+                                 cfg.maxinneriter, nmf=cfg.do_nmf)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

@@ -50,7 +50,7 @@ from .mesh import AXIS
 def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                              maxinneriter: int, residual_dtype=jnp.float32,
                              axis: str = AXIS, nan_mask: bool = False,
-                             panel_kernel: bool = False):
+                             panel_kernel: bool = False, nmf: bool = False):
     """``panel_kernel``: each device runs the fused Pallas panel passes
     (ops/panel_pallas.py) on its LOCAL block-padded row block — the
     residual update is fused into the first v-sweep kernel and the mask is
@@ -187,6 +187,8 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 g, h = jax.lax.psum((g, h), axis)
                 den = lam_ * col_nnz + h
                 v = jnp.where(den > 0, g / den, 0.0)
+                if nmf:                  # libpmf -N semantics (dead in ref)
+                    v = jnp.maximum(v, 0.0)
 
                 # ---- u-sweep ----
                 gu = jnp.zeros(m, f32)
@@ -228,6 +230,8 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 gu, hu = jax.lax.psum((gu, hu), axis)
                 den_u = lam_ * row_nnz + hu
                 u = jnp.where(den_u > 0, gu / den_u, 0.0)
+                if nmf:
+                    u = jnp.maximum(u, 0.0)
 
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
@@ -333,7 +337,8 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     step_fn = make_sharded_hybrid_step(plan, mesh, cfg.lambda_,
                                        cfg.maxinneriter, residual_dtype=rdt,
                                        nan_mask=cfg.mask_dtype == "nan",
-                                       panel_kernel=cfg.hybrid_panel_kernel)
+                                       panel_kernel=cfg.hybrid_panel_kernel,
+                                       nmf=cfg.do_nmf)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

@@ -66,18 +66,22 @@ class DenseState:
     v_pend: jnp.ndarray    # (n,)
 
 
-def _half_sweep(other, Rhat_T, mask_T, lam, nnz):
-    """One side of a rank-one sweep: new_j = g_j / (lam*nnz_j + h_j)."""
+def _half_sweep(other, Rhat_T, mask_T, lam, nnz, nmf: bool = False):
+    """One side of a rank-one sweep: new_j = g_j / (lam*nnz_j + h_j).
+    ``nmf`` clamps updates at 0 (libpmf -N semantics; the reference parses
+    -N but never consumes it, src/pmf.h:33)."""
     g = jnp.einsum("m,mn->n", other, Rhat_T.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     h = lam * nnz + jnp.einsum("m,mn->n", other * other,
                                mask_T.astype(jnp.float32),
                                preferred_element_type=jnp.float32)
-    return jnp.where(h > 0, g / h, 0.0)
+    out = jnp.where(h > 0, g / h, 0.0)
+    return jnp.maximum(out, 0.0) if nmf else out
 
 
 def make_outer_step(lam: float, maxinneriter: int,
-                    residual_dtype=jnp.float32, jit_compile: bool = True):
+                    residual_dtype=jnp.float32, jit_compile: bool = True,
+                    nmf: bool = False):
     """Build the one-outer-iteration step function (jitted by default)."""
 
     def step(state: DenseState, mask, row_nnz, col_nnz) -> DenseState:
@@ -91,8 +95,8 @@ def make_outer_step(lam: float, maxinneriter: int,
             delta = (jnp.outer(u, v) - jnp.outer(u_sub, v_sub))
             Rhat = Rhat + (delta * mask.astype(delta.dtype)).astype(residual_dtype)
             for _ in range(maxinneriter):      # src/CCD.cpp:107-123
-                v = _half_sweep(u, Rhat, mask, lam_, col_nnz)
-                u = _half_sweep(v, Rhat.T, mask.T, lam_, row_nnz)
+                v = _half_sweep(u, Rhat, mask, lam_, col_nnz, nmf)
+                u = _half_sweep(v, Rhat.T, mask.T, lam_, row_nnz, nmf)
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, axis=0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, axis=0)
             return (Rhat, W, H, u, v)
@@ -111,7 +115,7 @@ def make_outer_step(lam: float, maxinneriter: int,
 
 
 def make_dense_phase_fns(lam: float, maxinneriter: int,
-                         residual_dtype=jnp.float32):
+                         residual_dtype=jnp.float32, nmf: bool = False):
     """Phase-split step functions for the phase-timing mode (phase_loop.py):
     the reference's plain schedule (add-back / sweeps / subtract as separate
     dispatches, src/CCD.cpp:74-139) — identical math to make_outer_step's
@@ -140,8 +144,8 @@ def make_dense_phase_fns(lam: float, maxinneriter: int,
         u = jax.lax.dynamic_slice_in_dim(state.W, t, 1, 0)[0]
         v = jax.lax.dynamic_slice_in_dim(state.H, t, 1, 0)[0]
         for _ in range(maxinneriter):          # src/CCD.cpp:107-123
-            v = _half_sweep(u, state.Rhat, mask, lam_, col_nnz)
-            u = _half_sweep(v, state.Rhat.T, mask.T, lam_, row_nnz)
+            v = _half_sweep(u, state.Rhat, mask, lam_, col_nnz, nmf)
+            u = _half_sweep(v, state.Rhat.T, mask.T, lam_, row_nnz, nmf)
         W = jax.lax.dynamic_update_slice_in_dim(state.W, u[None], t, 0)
         H = jax.lax.dynamic_update_slice_in_dim(state.H, v[None], t, 0)
         return dataclasses.replace(state, W=W, H=H)
@@ -275,6 +279,7 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             raise ValueError("cannot resume a fused-schedule checkpoint "
                              "(pending outer product) in phase-timing mode")
         ab, sw, sub = make_dense_phase_fns(cfg.lambda_, cfg.maxinneriter,
+                                           nmf=cfg.do_nmf,
                                            residual_dtype=rdt)
 
         def _ab(t):
@@ -305,7 +310,7 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         return np.asarray(state.W)[:, :m], np.asarray(state.H)[:, :n], stats
 
     step_fn = make_outer_step(cfg.lambda_, cfg.maxinneriter,
-                              residual_dtype=rdt)
+                              residual_dtype=rdt, nmf=cfg.do_nmf)
 
     def do_step():
         box["state"] = step_fn(box["state"], mask, row_nnz_d, col_nnz_d)

@@ -51,7 +51,7 @@ from .reference import IterStats
 
 
 def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
-                        jit_compile: bool = True):
+                        jit_compile: bool = True, nmf: bool = False):
     """One outer iteration over all k ranks (lax.fori_loop)."""
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
@@ -74,10 +74,10 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
                     vals_c = residual_update(idx_c, vals_c, cols, None, v_old,
                                              +1.0, gathered=[g[..., 1] for g in Gc])
                     v, _ = sweep_new_values(idx_c, vals_c, cols, None, lam_,
-                                            rnnz_c, gathered=[g[..., 1] for g in Gc])
+                                            rnnz_c, gathered=[g[..., 1] for g in Gc], nmf=nmf)
                 else:
                     v, _ = sweep_new_values(idx_c, vals_c, cols,
-                                            extend_zero(u), lam_, rnnz_c)
+                                            extend_zero(u), lam_, rnnz_c, nmf=nmf)
                 # ---- u-sweep (rows side) ----
                 if i == 0:
                     # one stacked row-gather serves add-back (v_old) and sweep
@@ -86,10 +86,10 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
                     vals_r = residual_update(idx_r, vals_r, rows, None, u_old,
                                              +1.0, gathered=[g[..., 0] for g in G])
                     u, vg = sweep_new_values(idx_r, vals_r, rows, None, lam_,
-                                             rnnz_r, gathered=[g[..., 1] for g in G])
+                                             rnnz_r, gathered=[g[..., 1] for g in G], nmf=nmf)
                 else:
                     u, vg = sweep_new_values(idx_r, vals_r, rows,
-                                             extend_zero(v), lam_, rnnz_r)
+                                             extend_zero(v), lam_, rnnz_r, nmf=nmf)
             # ---- write back (src/CCD.cpp:128-134); rows-side subtract
             # immediately (reuses the sweep's gather), cols-side deferred ----
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
@@ -107,7 +107,8 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
     return jax.jit(step, donate_argnums=(2, 3, 4, 5, 8, 9))
 
 
-def make_ell_phase_fns(ell: EllPair, lam: float, maxinneriter: int):
+def make_ell_phase_fns(ell: EllPair, lam: float, maxinneriter: int,
+                       nmf: bool = False):
     """Phase-split step functions for the phase-timing mode (phase_loop.py):
     plain reference schedule (add-back / sweeps / immediate subtract,
     src/CCD.cpp:74-139) with separate fence-able dispatches per phase — same
@@ -137,9 +138,9 @@ def make_ell_phase_fns(ell: EllPair, lam: float, maxinneriter: int):
         v = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
         for _ in range(maxinneriter):          # src/CCD.cpp:107-123
             v, _ = sweep_new_values(idx_c, vals_c, cols, extend_zero(u),
-                                    lam_, rnnz_c)
+                                    lam_, rnnz_c, nmf=nmf)
             u, _ = sweep_new_values(idx_r, vals_r, rows, extend_zero(v),
-                                    lam_, rnnz_r)
+                                    lam_, rnnz_r, nmf=nmf)
         W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
         H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
         return W, H
@@ -218,7 +219,8 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
                                    or np.asarray(resume["v_pend"]).any()):
             raise ValueError("cannot resume a fused-schedule checkpoint "
                              "(pending outer product) in phase-timing mode")
-        ab, sw, sub = make_ell_phase_fns(ell, cfg.lambda_, cfg.maxinneriter)
+        ab, sw, sub = make_ell_phase_fns(ell, cfg.lambda_, cfg.maxinneriter,
+                                         nmf=cfg.do_nmf)
 
         def _ab(t):
             vals_r, vals_c, W, H, up, vp = box["s"]
@@ -261,7 +263,8 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         H_ent = np.asarray(H)[:, cols.slot_of_entity]
         return W_ent, H_ent, stats
 
-    step_fn = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter)
+    step_fn = make_ell_outer_step(ell, cfg.lambda_, cfg.maxinneriter,
+                                  nmf=cfg.do_nmf)
 
     def do_step():
         vals_r, vals_c, W, H, u_pend, v_pend = box["s"]

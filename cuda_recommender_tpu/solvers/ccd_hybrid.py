@@ -330,7 +330,7 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
 def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                            residual_dtype=jnp.float32, jit_compile=True,
                            nan_mask: bool = False,
-                           panel_kernel: bool = False):
+                           panel_kernel: bool = False, nmf: bool = False):
     """One outer iteration over all k ranks (lax.fori_loop), all parts.
 
     Sweep matvec operands are always f32 (storage dtypes upcast at the
@@ -481,6 +481,8 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 # lambda=0 fully-explained-residual case
                 den = lam_ * col_nnz + h
                 v = jnp.where(den > 0, g / den, 0.0)
+                if nmf:                  # libpmf -N semantics (dead in ref)
+                    v = jnp.maximum(v, 0.0)
 
                 # ---- u-sweep (users) ----
                 gu = jnp.zeros(m, f32)
@@ -522,6 +524,8 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                     hu = hu + h_lr[slot_of_upos]
                 den_u = lam_ * row_nnz + hu
                 u = jnp.where(den_u > 0, gu / den_u, 0.0)
+                if nmf:
+                    u = jnp.maximum(u, 0.0)
 
             # ---- write back (src/CCD.cpp:128-134); rows-side subtract
             # immediately (reuses the sweep's v gather); cols-side AND dense
@@ -623,7 +627,8 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     step_fn = make_hybrid_outer_step(plan, cfg.lambda_, cfg.maxinneriter,
                                      residual_dtype=rdt, nan_mask=nan_mask,
-                                     panel_kernel=kernel)
+                                     panel_kernel=kernel,
+                                     nmf=cfg.do_nmf)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

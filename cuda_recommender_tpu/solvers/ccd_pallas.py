@@ -31,7 +31,7 @@ from .pipeline import pipelined_loop
 from .reference import IterStats
 
 
-def make_pallas_outer_step(lam: float, maxinneriter: int,
+def make_pallas_outer_step(lam: float, maxinneriter: int, nmf: bool = False,
                            residual_dtype=jnp.float32,
                            interpret: bool = False):
     def step(state: DenseState, mask, row_nnz, col_nnz) -> DenseState:
@@ -45,10 +45,12 @@ def make_pallas_outer_step(lam: float, maxinneriter: int,
                                              v_sub, interpret=interpret)
             denom = lam_ * col_nnz + h
             v = jnp.where(denom > 0, g / denom, 0.0)
-            u = _half_sweep(v, Rhat.T, mask.T, lam_, row_nnz)
+            if nmf:
+                v = jnp.maximum(v, 0.0)
+            u = _half_sweep(v, Rhat.T, mask.T, lam_, row_nnz, nmf)
             for _ in range(maxinneriter - 1):
-                v = _half_sweep(u, Rhat, mask, lam_, col_nnz)
-                u = _half_sweep(v, Rhat.T, mask.T, lam_, row_nnz)
+                v = _half_sweep(u, Rhat, mask, lam_, col_nnz, nmf)
+                u = _half_sweep(v, Rhat.T, mask.T, lam_, row_nnz, nmf)
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, axis=0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, axis=0)
             return (Rhat, W, H, u, v)
@@ -101,7 +103,8 @@ def ccd_pallas_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     tv = jnp.asarray(np.asarray(T.val))
 
     step_fn = make_pallas_outer_step(cfg.lambda_, cfg.maxinneriter,
-                                     residual_dtype=rdt, interpret=interpret)
+                                     residual_dtype=rdt, interpret=interpret,
+                                     nmf=cfg.do_nmf)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

@@ -44,10 +44,14 @@ class IterStats:
     rmse_time: object = None
 
 
-def _sweep_side(ptr, idx, vals, other, lam):
+def _sweep_side(ptr, idx, vals, other, lam, nmf: bool = False):
     """One CCD rank-one sweep over one orientation: for each entity j,
     new_j = g / (lam*nnz_j + h) with g = Σ other[i]*val, h = Σ other[i]^2.
-    Empty entity → 0 (src/CCD.cpp:8). float32 accumulation like the reference."""
+    Empty entity → 0 (src/CCD.cpp:8). float32 accumulation like the reference.
+
+    ``nmf``: clamp each update at 0 (nonnegative MF, the original libpmf
+    CCD++ semantics of the -N flag; the reference parses -N but never
+    consumes it — src/pmf.h:33, no use anywhere in src/)."""
     n = ptr.shape[0] - 1
     out = np.zeros(n, dtype=np.float32)
     for j in range(n):
@@ -57,7 +61,7 @@ def _sweep_side(ptr, idx, vals, other, lam):
         o = other[idx[lo:hi]]
         g = np.float32(np.dot(o, vals[lo:hi]))
         h = np.float32(lam * (hi - lo)) + np.float32(np.dot(o, o))
-        out[j] = g / h
+        out[j] = max(g / h, np.float32(0.0)) if nmf else g / h
     return out
 
 
@@ -75,7 +79,7 @@ def _update_rating(ptr, idx, vals, wt, ht, add: bool):
 
 def ccd_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
                   *, lambda_: float, maxiter: int, maxinneriter: int = 1,
-                  callback=None) -> list[IterStats]:
+                  nmf: bool = False, callback=None) -> list[IterStats]:
     """CCD++ golden solver. W (k, m) and H (k, n) are updated in place
     (rank-major layout, src/main.cpp:93-97). Returns per-iteration stats."""
     k = W.shape[0]
@@ -98,8 +102,8 @@ def ccd_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
                 upd_t += time.perf_counter() - t0
             t0 = time.perf_counter()
             for _ in range(maxinneriter):         # src/CCD.cpp:107-123
-                v = _sweep_side(R.csc_ptr, R.csc_idx, csc_vals, u, lam)
-                u = _sweep_side(R.csr_ptr, R.csr_idx, csr_vals, v, lam)
+                v = _sweep_side(R.csc_ptr, R.csc_idx, csc_vals, u, lam, nmf)
+                u = _sweep_side(R.csr_ptr, R.csr_idx, csr_vals, v, lam, nmf)
             rank_t += time.perf_counter() - t0
             W[t] = u                              # src/CCD.cpp:128-134
             H[t] = v
