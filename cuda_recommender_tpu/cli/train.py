@@ -39,7 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-T", type=int, default=1, dest="maxinneriter",
                    help="inner iterations (default 1)")
     p.add_argument("-e", type=float, default=1e-3, dest="eps",
-                   help="epsilon (parsed but unused, reference parity)")
+                   help="epsilon; inert like the reference unless "
+                        "--early-stop is given")
+    p.add_argument("--early-stop", action="store_true", dest="early_stop",
+                   help="stop once an outer iteration improves test RMSE by "
+                        "less than -e relative (the reference parses -e but "
+                        "never uses it; this makes it mean something)")
     p.add_argument("-p", type=int, default=0, dest="do_predict",
                    help="save model + write predictions after training")
     p.add_argument("-q", type=int, default=0, dest="verbose")
@@ -136,7 +141,7 @@ def main(argv=None) -> int:
         lambda_=args.lambda_, eps=args.eps, do_predict=bool(args.do_predict),
         verbose=bool(args.verbose), do_nmf=bool(args.do_nmf),
         threads=args.threads, backend=Backend(args.backend),
-        golden=args.golden, seed=args.seed,
+        golden=args.golden, seed=args.seed, early_stop=args.early_stop,
         residual_dtype=args.residual_dtype, data_dir=args.data_dir,
         mask_dtype=args.mask_dtype,
         fused_outer_iters=args.fused_iters,

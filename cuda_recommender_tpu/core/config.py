@@ -60,7 +60,11 @@ class Config:
     maxiter: int = 5                       # -t outer iterations (src/pmf.h:30)
     maxinneriter: int = 1                  # -T inner iterations (src/pmf.h:31)
     lambda_: float = 0.1                   # -l regularization (src/pmf.h:33)
-    eps: float = 1e-3                      # -e; parsed but unused (parity)
+    eps: float = 1e-3                      # -e; inert unless early_stop is set
+    #: Opt-in convergence stop (OFF = reference parity: the reference parses
+    #: -e but never consumes it, src/pmf.h:32). When set, training ends once
+    #: an outer iteration improves test RMSE by less than eps relative.
+    early_stop: bool = False
     do_predict: bool = False               # -p; forces verbose (parity)
     verbose: bool = False                  # -q
     do_nmf: bool = False                   # -N; nonnegative CCD++ (libpmf semantics)

@@ -173,11 +173,13 @@ def _run_reference(cfg: Config, R, W0, H0, T, log):
     W, H = W0.copy(), H0.copy()
     if cfg.solver == Solver.ALS:
         stats = als_reference(R, W, H, T, lambda_=cfg.lambda_,
-                              maxiter=cfg.maxiter, callback=cb)
+                              maxiter=cfg.maxiter, callback=cb,
+                              early_stop_eps=cfg.eps if cfg.early_stop else 0.0)
     else:
         stats = ccd_reference(R, W, H, T, lambda_=cfg.lambda_,
                               maxiter=cfg.maxiter, nmf=cfg.do_nmf,
-                              maxinneriter=cfg.maxinneriter, callback=cb)
+                              maxinneriter=cfg.maxinneriter, callback=cb,
+                              early_stop_eps=cfg.eps if cfg.early_stop else 0.0)
     return W, H, stats
 
 

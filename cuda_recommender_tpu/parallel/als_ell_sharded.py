@@ -26,6 +26,7 @@ from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ell_ops import extend_zero
 from ..solvers.als_ell import _solve_side
+from ..solvers.pipeline import early_stopped
 from ..solvers.reference import IterStats
 from .mesh import AXIS, ell_shardings
 
@@ -115,6 +116,8 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             callback(st)
         if ckpt_every and ckpt_fn and oiter % ckpt_every == 0:
             ckpt_fn(oiter, {"W": np.asarray(W), "H": np.asarray(H)})
+        if early_stopped(stats, cfg.eps if cfg.early_stop else 0.0):
+            break
 
     return (np.asarray(W)[rows.slot_of_entity],
             np.asarray(H)[cols.slot_of_entity], stats)

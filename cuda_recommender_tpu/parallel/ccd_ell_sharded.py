@@ -33,6 +33,7 @@ from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..ops.ell_ops import extend_zero, residual_update, sweep_new_values
+from ..solvers.pipeline import early_stopped
 from ..solvers.reference import IterStats
 from .mesh import AXIS, ell_shardings
 
@@ -181,6 +182,8 @@ def ccd_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             for i, v_ in enumerate(vals_c):
                 payload[f"vals_c_{i}"] = np.asarray(v_)
             ckpt_fn(oiter, payload)
+        if early_stopped(stats, cfg.eps if cfg.early_stop else 0.0):
+            break
 
     W_ent = np.asarray(W)[:, rows.slot_of_entity]
     H_ent = np.asarray(H)[:, cols.slot_of_entity]

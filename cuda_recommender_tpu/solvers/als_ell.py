@@ -249,7 +249,8 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         start_oiter=start_oiter, maxiter=cfg.maxiter,
         fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
         callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
-        get_payload=get_payload)
+        get_payload=get_payload,
+        early_stop_eps=cfg.eps if cfg.early_stop else 0.0)
 
     W, H = box["WH"]
     return (np.asarray(W)[rows.slot_of_entity],

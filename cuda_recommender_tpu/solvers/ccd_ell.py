@@ -257,7 +257,8 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
             tj=cols.slot_of_entity[T.col_idx], tv=np.asarray(T.val),
             callback=callback, rank_callback=rank_callback,
             ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
-            get_payload=get_payload)
+            get_payload=get_payload,
+        early_stop_eps=cfg.eps if cfg.early_stop else 0.0)
         _, _, W, H, _, _ = box["s"]
         W_ent = np.asarray(W)[:, rows.slot_of_entity]
         H_ent = np.asarray(H)[:, cols.slot_of_entity]
@@ -279,7 +280,8 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         start_oiter=start_oiter, maxiter=cfg.maxiter,
         fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
         callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
-        get_payload=get_payload)
+        get_payload=get_payload,
+        early_stop_eps=cfg.eps if cfg.early_stop else 0.0)
 
     _, _, W, H, _, _ = box["s"]
     W_ent = np.asarray(W)[:, rows.slot_of_entity]

@@ -129,6 +129,7 @@ def ccd_pallas_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         start_oiter=start_oiter, maxiter=cfg.maxiter,
         fuse=cfg.fused_outer_iters, do_step=do_step, do_rmse=do_rmse,
         callback=callback, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
-        get_payload=get_payload)
+        get_payload=get_payload,
+        early_stop_eps=cfg.eps if cfg.early_stop else 0.0)
     state = box["state"]
     return np.asarray(state.W)[:, :m], np.asarray(state.H)[:, :n], stats

@@ -25,6 +25,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from .pipeline import early_stopped
 from .reference import IterStats
 
 
@@ -39,6 +40,7 @@ def phased_ccd_loop(*, start_oiter: int, maxiter: int, k: int,
                     rank_callback: Optional[Callable] = None,
                     ckpt_every: int = 0, ckpt_fn=None,
                     get_payload: Optional[Callable[[], dict]] = None,
+                    early_stop_eps: float = 0.0,
                     ) -> list[IterStats]:
     """Each phase thunk runs its device program for rank ``t`` AND returns a
     fence-able value (the loop calls ``jax.block_until_ready`` on it).
@@ -90,4 +92,6 @@ def phased_ccd_loop(*, start_oiter: int, maxiter: int, k: int,
         if ckpt_every and ckpt_fn and get_payload is not None \
                 and oiter % ckpt_every == 0:
             ckpt_fn(oiter, get_payload())
+        if early_stopped(stats, early_stop_eps):
+            break
     return stats

@@ -15,7 +15,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from .reference import IterStats
+from .reference import IterStats, early_stopped  # noqa: F401  (re-export)
 
 
 def pipelined_loop(*, start_oiter: int, maxiter: int, fuse: int,
@@ -24,7 +24,11 @@ def pipelined_loop(*, start_oiter: int, maxiter: int, fuse: int,
                    callback: Optional[Callable[[IterStats], None]] = None,
                    ckpt_every: int = 0, ckpt_fn=None,
                    get_payload: Optional[Callable[[], dict]] = None,
+                   early_stop_eps: float = 0.0,
                    ) -> list[IterStats]:
+    """``early_stop_eps`` > 0 ends the loop once the relative RMSE
+    improvement drops below it — checked at flush boundaries, so with
+    ``fuse`` > 1 up to fuse-1 extra iterations may run before the stop."""
     fuse = max(1, fuse)
     stats: list[IterStats] = []
     pending: list[tuple[int, object]] = []
@@ -50,6 +54,8 @@ def pipelined_loop(*, start_oiter: int, maxiter: int, fuse: int,
         at_ckpt = bool(ckpt_every) and oiter % ckpt_every == 0
         if len(pending) >= fuse or at_ckpt or oiter == maxiter:
             t0 = flush(t0)
+            if early_stopped(stats, early_stop_eps):
+                break
         if at_ckpt and ckpt_fn and get_payload is not None:
             ckpt_fn(oiter, get_payload())
     return stats

@@ -44,6 +44,17 @@ class IterStats:
     rmse_time: object = None
 
 
+def early_stopped(stats: list, eps: float) -> bool:
+    """Opt-in convergence stop (cfg.early_stop; OFF by default for reference
+    parity — the reference parses ``-e eps`` but never consumes it,
+    src/pmf.h:32): stop once the relative test-RMSE improvement of the last
+    completed iteration falls below ``eps`` (also catches regressions)."""
+    if eps <= 0 or len(stats) < 2:
+        return False
+    prev, cur = stats[-2].rmse, stats[-1].rmse
+    return prev - cur < eps * abs(prev)
+
+
 def _sweep_side(ptr, idx, vals, other, lam, nmf: bool = False):
     """One CCD rank-one sweep over one orientation: for each entity j,
     new_j = g / (lam*nnz_j + h) with g = Σ other[i]*val, h = Σ other[i]^2.
@@ -79,7 +90,8 @@ def _update_rating(ptr, idx, vals, wt, ht, add: bool):
 
 def ccd_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
                   *, lambda_: float, maxiter: int, maxinneriter: int = 1,
-                  nmf: bool = False, callback=None) -> list[IterStats]:
+                  nmf: bool = False, callback=None,
+                  early_stop_eps: float = 0.0) -> list[IterStats]:
     """CCD++ golden solver. W (k, m) and H (k, n) are updated in place
     (rank-major layout, src/main.cpp:93-97). Returns per-iteration stats."""
     k = W.shape[0]
@@ -118,6 +130,8 @@ def ccd_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
                                rmse_time=time.perf_counter() - t0))
         if callback:
             callback(stats[-1])
+        if early_stopped(stats, early_stop_eps):
+            break
     return stats
 
 
@@ -139,7 +153,8 @@ def _als_update_side(ptr, idx, vals, other_factors, lam, k):
 
 
 def als_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
-                  *, lambda_: float, maxiter: int, callback=None) -> list[IterStats]:
+                  *, lambda_: float, maxiter: int, callback=None,
+                  early_stop_eps: float = 0.0) -> list[IterStats]:
     """ALS golden solver. W (m, k) and H (n, k) updated in place
     (entity-major layout, src/main.cpp:87-91)."""
     k = W.shape[1]
@@ -156,4 +171,6 @@ def als_reference(R: RatingMatrix, W: np.ndarray, H: np.ndarray, T: TestCOO,
                                rmse_time=time.perf_counter() - t0))
         if callback:
             callback(stats[-1])
+        if early_stopped(stats, early_stop_eps):
+            break
     return stats
