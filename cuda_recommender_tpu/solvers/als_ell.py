@@ -72,9 +72,13 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
     if L <= chunk or b.p > 1:
         return accumulate(idx.reshape(S, b.E), val.reshape(S, b.E))
 
-    nC = L // chunk
-    idx_s = idx.reshape(rows, nC, chunk).transpose(1, 0, 2)
-    val_s = val.reshape(rows, nC, chunk).transpose(1, 0, 2)
+    # data-driven ladder widths (data/ell.py) need not divide the chunk:
+    # scan the full slabs, accumulate the remainder columns directly (they
+    # gather real data — padding them to a whole slab would re-add the
+    # gathers the ladder just removed)
+    nC, rem = divmod(L, chunk)
+    idx_s = idx[:, :nC * chunk].reshape(rows, nC, chunk).transpose(1, 0, 2)
+    val_s = val[:, :nC * chunk].reshape(rows, nC, chunk).transpose(1, 0, 2)
 
     def body(carry, sl):
         G, r = carry
@@ -87,6 +91,9 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
         body,
         (jnp.zeros(g_shape, jnp.float32), jnp.zeros(r_shape, jnp.float32)),
         (idx_s, val_s))
+    if rem:
+        dG, dr = accumulate(idx[:, nC * chunk:], val[:, nC * chunk:])
+        G, r = G + dG, r + dr
     return G, r
 
 

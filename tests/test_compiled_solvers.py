@@ -194,3 +194,33 @@ def test_gauss_jordan_solve_matches_numpy(rng):
     x = np.asarray(gauss_jordan_solve(jnp.asarray(A), jnp.asarray(b)))
     want = np.linalg.solve(A, b[..., None])[..., 0]
     np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
+
+
+def test_als_wide_bucket_not_chunk_divisible():
+    """Data-driven ladder widths need not divide the gram scan chunk
+    (ell_chunk=512): a ~700-wide bucket must stream 512 + a 188-column
+    remainder (solvers/als_ell.py gram_and_rhs) and still match golden.
+    Regression: the pre-ladder code reshaped (rows, L) -> (rows, L//chunk,
+    chunk), which crashes for L % chunk != 0."""
+    rng = np.random.default_rng(0)
+    m, n = 300, 800
+    r = np.concatenate([np.full(700, 0), rng.integers(1, m, 4000)])
+    c = np.concatenate([rng.choice(n, 700, replace=False),
+                        rng.integers(0, n, 4000)])
+    u, _ = np.unique(np.stack([r, c]), axis=1, return_index=True)
+    r, c = u[0].astype(np.int32), u[1].astype(np.int32)
+    v = rng.uniform(1, 5, r.size).astype(np.float32)
+    from cuda_recommender_tpu.data.sparse import from_coo, make_test
+    R = from_coo(m, n, r, c, v)
+    T = make_test(m, n, rng.integers(0, m, 500).astype(np.int32),
+                  rng.integers(0, n, 500).astype(np.int32),
+                  rng.uniform(1, 5, 500).astype(np.float32))
+    assert int(np.diff(R.csr_ptr).max()) == 700
+    W0, H0 = init_factors_np(K, m, n, seed=0, entity_major=True)
+    Wr, Hr = W0.copy(), H0.copy()
+    als_reference(R, Wr, Hr, T, lambda_=0.1, maxiter=3)
+    W, H, _ = als_ell_train(R, W0.copy(), H0.copy(), T,
+                            Config(k=K, lambda_=0.1, maxiter=3,
+                                   solver="als", backend="ell"))
+    assert golden_compare(W, Wr, atol=1e-3).passed
+    assert golden_compare(H, Hr, atol=1e-3).passed
