@@ -41,9 +41,17 @@ import numpy as np  # noqa: E402
 HBM_BYTES_PER_S = 819e9            # v5e spec
 GATHER_S_PER_ROW = 3.3e-9          # measured paired row-gather issue rate
 
+# Fused Pallas panel kernels (ops/panel_pallas.py): update+vsweep as one RMW
+# pass + usweep as one read pass = 6 B/cell/rank at bf16 vs the XLA
+# NaN-sentinel path's ~12. Convergence-grade
+# (results/rmse_trajectory_ml1m_hybrid_bf16_nan_kernel.jsonl). Flipped on
+# once measured faster on the headline config on this chip.
+PANEL_KERNEL = False
+
 
 def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int,
-                                  nan_mask: bool = False) -> int:
+                                  nan_mask: bool = False,
+                                  kernel: bool = False) -> int:
     """Residual pass (read resid + read mask + write resid) plus two sweep
     matvec passes (read resid + read mask each). bf16+bf16 -> 14 B;
     fp8+int8 -> 7 B. NaN-sentinel mode has no mask array but each g/h
@@ -51,7 +59,7 @@ def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int,
     bf16). Convert passes are NOT modeled — the measured ratio therefore
     understates true hardware efficiency for sub-f32 dtypes."""
     if nan_mask:
-        return 6 * residual_bytes
+        return (3 if kernel else 6) * residual_bytes
     return 4 * residual_bytes + 3 * mask_bytes
 
 
@@ -112,7 +120,9 @@ def main() -> None:
     plan = plan_hybrid(R, cfg, materialize_dense=False)
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
     rdt = jnp.dtype(rdt_name)
-    Rds, masks = densify_panels(plan, rdt, mask_dtype=mdt_name)
+    kernel = PANEL_KERNEL and on_tpu and mdt_name == "nan"
+    Rds, masks = densify_panels(plan, rdt, mask_dtype=mdt_name,
+                                block_pad=kernel)
 
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
     idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
@@ -129,7 +139,8 @@ def main() -> None:
               jnp.asarray(plan.slot_of_upos), jnp.asarray(plan.slot_of_ipos))
 
     step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt,
-                                  nan_mask=mdt_name == "nan")
+                                  nan_mask=mdt_name == "nan",
+                                  panel_kernel=kernel)
 
     def run(s):
         return step(idx_r, idx_c, s[0], masks, s[1], s[2], s[3], s[4],
@@ -156,7 +167,8 @@ def main() -> None:
     nan_mask = mdt_name == "nan"
     pbytes = panel_bytes_per_cell_per_rank(
         jnp.dtype(rdt_name).itemsize,
-        0 if nan_mask else jnp.dtype(mdt_name).itemsize, nan_mask=nan_mask)
+        0 if nan_mask else jnp.dtype(mdt_name).itemsize, nan_mask=nan_mask,
+        kernel=kernel)
     roofline_iter = k * (
         panel_cells * pbytes / HBM_BYTES_PER_S
         + gath_rows * GATHER_S_PER_ROW)
@@ -175,7 +187,9 @@ def main() -> None:
             "dataset": f"synthetic Netflix-scale zipf ({m}x{n}, "
                        f"nnz={R.nnz})" if on_tpu else
                        f"synthetic ml1m-scale ({m}x{n}, nnz={R.nnz})",
-            "backend": "hybrid (dense panel stair + paired-gather ELL tail)",
+            "backend": ("hybrid (fused Pallas panel kernels + paired-gather "
+                        "ELL tail)" if kernel else
+                        "hybrid (dense panel stair + paired-gather ELL tail)"),
             "residual_dtype": rdt_name, "mask_dtype": mdt_name,
             "k": k, "outer_iter_s": round(dt, 3),
             "panels": [list(p) for p in plan.panels],
