@@ -37,10 +37,6 @@ from .sparse import RatingMatrix
 LANE = 128
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(0, (int(x) - 1).bit_length())
-
-
 MAX_BUCKETS = 8    # default width-ladder size (see _choose_widths). Measured
                    # tradeoff at the Netflix-100M hybrid tail: padding 1.44x
                    # (pow2, 4-5 buckets) -> 1.05/1.10x at B=8 -> 1.03/1.07x at
