@@ -42,9 +42,22 @@ def main(argv=None) -> int:
                    help="skip training and recall: seeded Gaussian factors, "
                         "pure-QPS mode for large-catalog scaling runs "
                         "(retrieval cost is independent of factor values)")
+    p.add_argument("--latency", action="store_true",
+                   help="per-query latency mode: serve --queries SEQUENTIAL "
+                        "single-user queries through the device-resident "
+                        "RetrievalEngine (serve/engine.py) with a full fence "
+                        "per query; reports p50/p99 ms instead of batch QPS")
     args = p.parse_args(argv)
 
+    import os
+
     import jax
+
+    if os.environ.get("CRTPU_PLATFORM"):
+        # same escape hatch as bench.py: plugin backends override the
+        # JAX_PLATFORMS env var, and a wedged tunnel hangs backend init
+        jax.config.update("jax_platforms", os.environ["CRTPU_PLATFORM"])
+
     import jax.numpy as jnp
 
     if jax.default_backend() not in ("cpu",):
@@ -83,6 +96,38 @@ def main(argv=None) -> int:
         W, H, _ = als_ell_train(R, W0, H0, T, cfg)
 
     n, k = H.shape
+
+    if args.latency:
+        from ..serve.engine import RetrievalEngine
+        eng = RetrievalEngine(W, H, int8=args.int8, approx=args.approx)
+        eng.warmup(topk=args.topk)
+        rng = np.random.default_rng(0)
+        users = rng.integers(0, W.shape[0], args.queries)
+        lat = np.empty(args.queries)
+        t_all = time.perf_counter()
+        for q, uid in enumerate(users):
+            t0 = time.perf_counter()
+            eng.query(user=int(uid), topk=args.topk)   # np readback = fence
+            lat[q] = time.perf_counter() - t0
+        wall = time.perf_counter() - t_all
+        p50, p99 = np.percentile(lat, [50, 99])
+        print(json.dumps({
+            "metric": f"mips_top{args.topk}_p50_latency",
+            "value": round(float(p50) * 1e3, 3),
+            "unit": "ms/query",
+            "vs_baseline": 0.0,
+            "detail": {"p99_ms": round(float(p99) * 1e3, 3),
+                       "mean_ms": round(float(lat.mean()) * 1e3, 3),
+                       "sequential_qps": round(args.queries / wall, 1),
+                       "queries": args.queries, "items": n, "rank": k,
+                       "int8": bool(args.int8), "approx": bool(args.approx),
+                       "note": "sequential fully-fenced single queries; on "
+                               "the tunneled dev TPU the host round-trip "
+                               "(~27 ms) dominates — compare configs, not "
+                               "absolute ms, there"},
+        }))
+        return 0
+
     pad = (-n) % args.chunk
     Hp = np.pad(H.astype(np.float32), ((0, pad), (0, 0)))
     if args.int8:
