@@ -102,11 +102,18 @@ class HybridPlan:
     panel_coo: Optional[tuple] = None
 
 
-def _candidate_boundaries(m: int, align: int = 8,
-                          npts: int = 129) -> np.ndarray:
+def _candidate_boundaries(m: int, align: int = 8, npts: int = 129,
+                          include_full: bool = False) -> np.ndarray:
     cand = np.unique((np.linspace(0, m, npts) / align).round()
                      .astype(np.int64) * align)
-    return np.minimum(cand, (m // align) * align)
+    cand = np.minimum(cand, (m // align) * align)
+    if include_full:
+        # the exact row count as a candidate (kernel blocks clamp+pad, so
+        # alignment is only a sharding constraint): a budget >= m*n then
+        # yields ONE full panel and no ELL tail at all — the dense case as
+        # a degenerate hybrid plan.
+        cand = np.unique(np.append(cand, m))
+    return cand
 
 
 def _search_boundaries(prefixes, widths, cand, budget: int,
@@ -208,7 +215,7 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
         prefixes.append(np.concatenate([[0], np.cumsum(cov)]))
 
     align = 8 * num_shards // np.gcd(8, num_shards)     # lcm(8, N)
-    cand = _candidate_boundaries(m, align)
+    cand = _candidate_boundaries(m, align, include_full=(num_shards == 1))
     budget = int(cfg.hybrid_dense_cells)
     best_r = _search_boundaries(prefixes, widths, cand, budget)
 

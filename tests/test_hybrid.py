@@ -276,3 +276,20 @@ def test_auto_resolves_hybrid_when_dense_too_big():
     # ALS never routes to hybrid
     assert Config(solver="als", backend="hybrid").resolve_backend(5, 5) \
         == Backend.ELL
+
+
+def test_hybrid_full_budget_has_no_tail(small_data, ccd_golden):
+    """A budget >= m*n yields ONE full panel and an empty ELL tail — the
+    dense case as a degenerate hybrid plan (boundary candidates include the
+    exact, unaligned row count in the single-shard planner)."""
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                 backend="hybrid", hybrid_dense_cells=R.rows * R.cols,
+                 hybrid_panel_widths=(32,), mask_dtype="nan",
+                 hybrid_panel_kernel=True)
+    plan = plan_hybrid(R, cfg, materialize_dense=False)
+    assert plan.panels == ((0, R.rows, R.cols),)
+    assert plan.nnz_light == 0
+    W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    _assert_matches(W, H, stats, Wr, Hr, stats_r)
