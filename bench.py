@@ -63,14 +63,57 @@ def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int,
     return 4 * residual_bytes + 3 * mask_bytes
 
 
+LAST_LIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "results", "bench_last_live.json")
+
+
+def _tunnel_healthy(timeout_s: int = 240) -> bool:
+    """Backend init in a THROWAWAY subprocess with a hard timeout. A wedged
+    axon tunnel hangs jax.devices() forever in-process (observed >2 h, no
+    local process to kill) — probing out-of-process keeps this process
+    clean and lets the bench fall back instead of hanging the driver."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_fallback() -> None:
+    """The tunnel is down: re-emit the last LIVE bench record, flagged.
+    Honest by construction — the value is a real measurement of the same
+    code path on the same chip, just not from this invocation."""
+    try:
+        with open(LAST_LIVE) as f:
+            rec = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        rec = {"metric": "ccd_netflix_scale_throughput", "value": 0.0,
+               "unit": "M rating-updates/s/chip", "vs_baseline": 0.0}
+    rec["live"] = False
+    det = rec.setdefault("detail", {})
+    det["note_fallback"] = ("TPU tunnel unreachable at bench time (backend "
+                            "init probe timed out); value is the last live "
+                            "bench.py measurement, committed in "
+                            "results/bench_last_live.json")
+    print(json.dumps(rec))
+
+
 def main() -> None:
+    force = os.environ.get("CRTPU_PLATFORM")
+    if not force and not _tunnel_healthy():
+        _emit_fallback()
+        return
+
     import jax
 
-    if os.environ.get("CRTPU_PLATFORM"):
+    if force:
         # local CPU smoke escape hatch: plugin backends (the tunneled TPU)
         # override the JAX_PLATFORMS env var, and a wedged tunnel hangs
         # backend init; the in-process config wins
-        jax.config.update("jax_platforms", os.environ["CRTPU_PLATFORM"])
+        jax.config.update("jax_platforms", force)
 
     if jax.default_backend() not in ("cpu",):
         # persistent cache (measured 115 s cold -> 0.8 s warm through the
@@ -178,7 +221,7 @@ def main() -> None:
     H_ent = np.asarray(s[4])[:, plan.item_pos]
     rmse = calrmse_np(T, W_ent, H_ent, entity_major=False)
 
-    print(json.dumps({
+    rec = {
         "metric": "ccd_netflix_scale_throughput",
         "value": round(R.nnz * k / dt / 1e6, 2),
         "unit": "M rating-updates/s/chip",
@@ -207,7 +250,12 @@ def main() -> None:
             # results/ artifacts with full methodology)
             "aux_committed": _aux_metrics(),
         },
-    }))
+    }
+    print(json.dumps(rec))
+    if on_tpu:
+        # record for the wedged-tunnel fallback path (_emit_fallback)
+        with open(LAST_LIVE, "w") as f:
+            json.dump(rec, f, indent=1)
 
 
 def _aux_metrics() -> dict:
