@@ -62,6 +62,11 @@ def run_once(R, T, solver: Solver, backend: Backend, k: int, inner: int,
 
 def main(argv=None) -> int:
     import jax
+    if os.environ.get("CRTPU_PLATFORM"):
+        # must run BEFORE jax.default_backend() initializes backends: the
+        # axon plugin ignores JAX_PLATFORMS, and a wedged tunnel hangs
+        # backend init forever (train.py/bench_serve.py do the same)
+        jax.config.update("jax_platforms", os.environ["CRTPU_PLATFORM"])
     if jax.default_backend() not in ("cpu",):
         # persistent compile cache (measured 115 s cold -> 0.8 s warm through
         # the tunneled-TPU remote compiler; the JAX_COMPILATION_CACHE_DIR env

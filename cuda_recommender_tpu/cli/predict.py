@@ -11,12 +11,18 @@ Two modes mirroring + extending the reference's disabled predict path
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 
 def main(argv=None) -> int:
+    if os.environ.get("CRTPU_PLATFORM"):
+        # before any device use: the axon plugin ignores JAX_PLATFORMS and a
+        # wedged tunnel hangs backend init (same guard as the other CLIs)
+        import jax
+        jax.config.update("jax_platforms", os.environ["CRTPU_PLATFORM"])
     p = argparse.ArgumentParser(prog="cuda_recommender_tpu.cli.predict")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -162,6 +162,14 @@ def synthetic_from_spec(spec: str) -> tuple[RatingMatrix, TestCOO]:
     kw = parse_synthetic_spec(spec)
     float_keys = {"noise", "test_fraction"}
     kw = {k: (float(v) if k in float_keys else int(v)) for k, v in kw.items()}
+    if kw.pop("cache", 0):
+        # ``cache=1`` routes through the disk cache (synthetic_cached) so
+        # repeated sweep invocations at 100M+ nnz don't regenerate for
+        # minutes each; only the cached signature's knobs are allowed.
+        extra = set(kw) - {"m", "n", "nnz", "seed", "test_fraction"}
+        if extra:
+            raise ValueError(f"cache=1 spec does not support {sorted(extra)}")
+        return synthetic_cached(**kw)
     return synthetic(**kw)
 
 

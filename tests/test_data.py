@@ -221,3 +221,30 @@ def test_paired_gather_matches_direct_indexing():
         ixn = np.asarray(ix)
         np.testing.assert_array_equal(np.asarray(a), ext[ixn][..., 0])
         np.testing.assert_array_equal(np.asarray(b), ext[ixn][..., 1])
+
+
+def test_synthetic_spec_cache_roundtrip(tmp_path, monkeypatch):
+    """cache=1 specs route through the disk cache and reproduce the direct
+    synthetic() dataset for the same knobs; non-cacheable knobs are rejected."""
+    import numpy as np
+    import pytest
+    from cuda_recommender_tpu.data import datasets
+
+    # point the cache at tmp_path so the test never touches /tmp state
+    orig = datasets.synthetic_cached
+
+    def cached_tmp(*a, **kw):
+        kw.setdefault("cache_dir", str(tmp_path))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(datasets, "synthetic_cached", cached_tmp)
+    spec = "synthetic:m=60,n=40,nnz=300,seed=3,test_fraction=0.1,cache=1"
+    R1, T1 = datasets.synthetic_from_spec(spec)
+    R2, T2 = datasets.synthetic_from_spec(spec)       # second call: from disk
+    np.testing.assert_array_equal(R1.csr_val, R2.csr_val)
+    np.testing.assert_array_equal(T1.val, T2.val)
+    Rd, _ = datasets.synthetic(m=60, n=40, nnz=300, seed=3, test_fraction=0.1)
+    np.testing.assert_array_equal(R1.csr_val, Rd.csr_val)
+
+    with pytest.raises(ValueError, match="cache=1"):
+        datasets.synthetic_from_spec("synthetic:m=6,n=4,nnz=3,noise=0.5,cache=1")
