@@ -10,10 +10,14 @@ bf16-residual NaN-SENTINEL stair (mask_dtype="nan": no mask array at all
 6.5e9-cell stair in ~13 GB covering 97.2% of the nnz — the largest
 GOLDEN-GRADE config (bf16 residual is measured RMSE-identical through
 full convergence; the NaN encoding is bit-identical to an explicit
-mask). Measured 628.7 M rating-updates/s (7.86x round-1). fp8 residual
-reaches 663 M with int8 masks but stalls at a worse RMSE plateau at
-convergence (results/rmse_trajectory_ml1m_hybrid_fp8.jsonl), so it is
-an opt-in screening mode, not the headline.
+mask). With the fused Pallas panel kernels (ops/panel_pallas.py — the
+update+vsweep RMW pass and the usweep read pass each touch the residual
+once instead of the XLA schedule's six reads): measured 691.8 M
+rating-updates/s (8.65x round-1; the XLA NaN-sentinel schedule measures
+628.7 M). fp8 residual reaches 663 M with int8 masks but stalls at a
+worse RMSE plateau at convergence
+(results/rmse_trajectory_ml1m_hybrid_fp8.jsonl), so it is an opt-in
+screening mode, not the headline.
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
 the denominator is the composite speed-of-light model for the panel-hybrid
@@ -44,9 +48,10 @@ GATHER_S_PER_ROW = 3.3e-9          # measured paired row-gather issue rate
 # Fused Pallas panel kernels (ops/panel_pallas.py): update+vsweep as one RMW
 # pass + usweep as one read pass = 6 B/cell/rank at bf16 vs the XLA
 # NaN-sentinel path's ~12. Convergence-grade
-# (results/rmse_trajectory_ml1m_hybrid_bf16_nan_kernel.jsonl). Flipped on
-# once measured faster on the headline config on this chip.
-PANEL_KERNEL = False
+# (results/rmse_trajectory_ml1m_hybrid_bf16_nan_kernel.jsonl). Measured on
+# the headline config: 5.78 s/iter = 691.8 M updates/s vs 6.36 s / 628.7 M
+# for the XLA path (results/hybrid_netflix_100m_r2b.jsonl) — default ON.
+PANEL_KERNEL = bool(int(os.environ.get("CRTPU_PANEL_KERNEL", "1")))
 
 
 def panel_bytes_per_cell_per_rank(residual_bytes: int, mask_bytes: int,
