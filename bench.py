@@ -149,7 +149,7 @@ def main() -> None:
         # 2.7e9 bf16 416 M -> 3.2e9 bf16 465 M -> 4.2e9 bf16+int8 523 M;
         # fp8+int8 at 6.5e9 reaches 663 M but stalls at a worse converged
         # RMSE (trajectory artifact) — opt-in only.
-        m, n, nnz, k, iters = 480_189, 17_770, 100_000_000, 40, 3
+        m, n, nnz, k, iters = 480_189, 17_770, 100_000_000, 40, 7
         budget = 6_500_000_000
         rdt_name, mdt_name = "bfloat16", "nan"
         widths = (4096, 2048)
@@ -202,11 +202,17 @@ def main() -> None:
     _ = np.asarray(s[3]).sum()
     t_xfer = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
+    # per-iteration fenced samples -> median + spread (round-2 verdict: 3
+    # pooled iterations could not even see the 27% swing between the
+    # committed artifact and the driver's record; the spread is now part of
+    # the record itself)
+    samples = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         s = run(s)
-    _ = np.asarray(s[3]).sum()
-    dt = (time.perf_counter() - t0 - t_xfer) / iters
+        _ = np.asarray(s[3]).sum()
+        samples.append(time.perf_counter() - t0 - t_xfer)
+    dt = float(np.median(samples))
 
     # composite roofline of this decomposition on this chip
     panel_cells = sum((r1 - r0) * w for r0, r1, w in plan.panels)
@@ -240,6 +246,9 @@ def main() -> None:
                         "hybrid (dense panel stair + paired-gather ELL tail)"),
             "residual_dtype": rdt_name, "mask_dtype": mdt_name,
             "k": k, "outer_iter_s": round(dt, 3),
+            "iter_s_samples": [round(x, 3) for x in samples],
+            "iter_s_min_max": [round(min(samples), 3),
+                               round(max(samples), 3)],
             "panels": [list(p) for p in plan.panels],
             "nnz_light_frac": round(plan.nnz_light / R.nnz, 4),
             "rmse_after_5_iters": round(rmse, 4),

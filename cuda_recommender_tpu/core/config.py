@@ -116,7 +116,14 @@ class Config:
     #: Widths (top-item counts) of the secondary dense panels; the first
     #: panel always spans all items. The planner grid-searches the user
     #: boundaries per width to maximize covered nnz under the cell budget.
+    #: The string "auto" instead chooses widths AND boundaries jointly from
+    #: the degree distribution (Lagrangian stair search,
+    #: solvers/ccd_hybrid._auto_stair) — the data-driven default for large
+    #: matrices; tuples remain for explicit control and parity tests.
     hybrid_panel_widths: tuple = (2048, 256)
+    #: Max distinct panel widths the auto stair may emit (each panel adds a
+    #: scatter program + a kernel call set per rank to the traced program).
+    hybrid_max_panels: int = 8
     #: Panel mask storage dtype: "bfloat16" (default), "int8", or "nan".
     #: {0,1} is exact in bfloat16/int8, so numerics are identical; int8
     #: halves the mask's HBM footprint, buying a ~33% larger in-HBM panel
@@ -177,10 +184,18 @@ class Config:
             raise ValueError("hybrid_panel_kernel requires mask_dtype='nan' "
                              "(the fused kernels read the mask from the "
                              "NaN sentinel)")
-        self.hybrid_panel_widths = tuple(int(w)
-                                         for w in self.hybrid_panel_widths)
-        if any(w <= 0 for w in self.hybrid_panel_widths):
-            raise ValueError("hybrid_panel_widths must be positive")
+        if isinstance(self.hybrid_panel_widths, str):
+            if self.hybrid_panel_widths != "auto":
+                raise ValueError("hybrid_panel_widths must be a width tuple "
+                                 f"or 'auto', got "
+                                 f"{self.hybrid_panel_widths!r}")
+        else:
+            self.hybrid_panel_widths = tuple(
+                int(w) for w in self.hybrid_panel_widths)
+            if any(w <= 0 for w in self.hybrid_panel_widths):
+                raise ValueError("hybrid_panel_widths must be positive")
+        if self.hybrid_max_panels <= 0:
+            raise ValueError("hybrid_max_panels must be positive")
 
     def resolve_backend(self, m: int, n: int) -> Backend:
         """AUTO resolution: dense residual for CCD when it fits (the Pallas

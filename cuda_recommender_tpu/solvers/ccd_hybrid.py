@@ -169,6 +169,139 @@ def _search_boundaries(prefixes, widths, cand, budget: int,
     return r
 
 
+def _stair_ladder(n: int, min_width: int = 128, step: float = 2 ** 0.25,
+                  ) -> np.ndarray:
+    """Geometric candidate-width ladder, 128-lane aligned, ascending, ending
+    at exactly n. ~4 candidates per octave is fine enough that snapping to
+    the grid costs <1% coverage while keeping the per-nnz classification to
+    ~30 compare-add passes."""
+    w = float(n)
+    out = [n]
+    while w > min_width:
+        w /= step
+        cand = max(min_width, int(round(w / 128.0)) * 128)
+        if cand != out[-1] and cand < n:
+            out.append(cand)
+    return np.unique(np.asarray(out, np.int64))
+
+
+def _auto_stair(rp: np.ndarray, cp: np.ndarray, m: int, n: int,
+                budget: int, align: int, *, min_width: int = 128,
+                max_panels: int = 8) -> list[tuple[int, int, int]]:
+    """Data-driven panel stair: choose panel WIDTHS and BOUNDARIES jointly
+    from the degree distribution under the cell budget (the round-2 planner
+    fixed the widths from config and searched boundaries only — VERDICT #3).
+
+    Formulation: with users and items degree-sorted, assign every block of
+    ``align``-aligned user rows a width w(b) from a geometric candidate
+    ladder, maximizing covered nnz  Σ_b cov_b(w(b))  subject to
+    Σ_b rows_b · w(b) <= budget and w non-increasing (a stair). Solved by
+    Lagrangian relaxation: for a price λ per cell each block independently
+    picks argmax_w cov_b(w) − λ·rows_b·w (vectorized over the whole
+    (blocks × ladder) table), the choice is projected to non-increasing by a
+    reverse running max, and λ is bisected to the budget. The relaxation is
+    exact up to one block's rounding because cov_b(w) is near-concave in w
+    for degree-sorted power-law data. A final merge pass caps the number of
+    distinct widths at ``max_panels`` (each panel is an extra scatter
+    program + kernel call set per rank).
+    """
+    ladder = _stair_ladder(n, min_width=min_width)          # ascending
+    K = ladder.size
+    # per-nnz ladder class: cls = #{ladder[j] <= cp, j < K-1} via compare-add
+    # passes (np.searchsorted over 100M elems measured ~16x slower)
+    cls = np.zeros(cp.size, np.int32)
+    for t in ladder[:-1]:
+        cls += (cp >= np.int32(t))
+    # block granularity: align-multiple, <= ~4096 blocks for the search
+    B = align * max(1, -(-m // (align * 4096)))
+    nblk = -(-m // B)
+    key = (rp // np.int32(B)) * np.int32(K) + cls
+    counts = key_count(key, nblk * K).reshape(nblk, K)
+    covB = np.cumsum(counts, axis=1)       # covB[b, j]: block-b nnz in
+    #                                        items [0, ladder[j])
+    rows_b = np.full(nblk, B, np.int64)
+    rows_b[-1] = m - B * (nblk - 1)
+    cost = rows_b[:, None] * ladder[None, :]                # (nblk, K)
+
+    def eval_lam(lam: float):
+        score = covB - lam * cost
+        j = score.argmax(axis=1)
+        w_j = np.where(score[np.arange(nblk), j] > 0, j, -1)  # -1 = no panel
+        # stair projection: widths non-increasing down the degree order
+        w_j = np.maximum.accumulate(w_j[::-1])[::-1]
+        cells = int(np.where(w_j >= 0, rows_b * ladder[np.maximum(w_j, 0)],
+                             0).sum())
+        return cells, w_j
+
+    cells0, w0 = eval_lam(0.0)
+    if cells0 <= budget:
+        w_best = w0                        # budget covers the full matrix
+    else:
+        lo, hi = 0.0, 1.0
+        while eval_lam(hi)[0] > budget:
+            hi *= 4.0
+        w_best = None
+        for _ in range(64):
+            mid = 0.5 * (lo + hi)
+            cells, w_j = eval_lam(mid)
+            if cells <= budget:
+                hi, w_best = mid, w_j
+            else:
+                lo = mid
+        if w_best is None:
+            w_best = eval_lam(hi)[1]
+
+    def total_cells(w_j):
+        return int(np.where(w_j >= 0, rows_b * ladder[np.maximum(w_j, 0)],
+                            0).sum())
+
+    # merge to <= max_panels distinct width levels: raise the lower level to
+    # the upper when the budget allows (coverage can only grow), otherwise
+    # lower the upper level (cheapest coverage loss first)
+    def levels(w_j):
+        lv, prev = [], None
+        for b in range(nblk):
+            if w_j[b] < 0:
+                break
+            if w_j[b] != prev:
+                lv.append([b, b + 1, int(w_j[b])])
+                prev = w_j[b]
+            else:
+                lv[-1][1] = b + 1
+        return lv
+
+    w_j = w_best.copy()
+    while True:
+        lv = levels(w_j)
+        if len(lv) <= max_panels:
+            break
+        best = None                          # (tier, penalty, i, mode)
+        for i in range(len(lv) - 1):
+            (a0, a1, ja), (b0, b1, jb) = lv[i], lv[i + 1]
+            d_cells = int((rows_b[b0:b1]
+                           * (ladder[ja] - ladder[jb])).sum())
+            if total_cells(w_j) + d_cells <= budget:
+                cand = (0, d_cells, i, "raise")   # coverage only grows
+            else:
+                loss = int((covB[a0:a1, ja] - covB[a0:a1, jb]).sum())
+                cand = (1, loss, i, "lower")
+            if best is None or cand < best:
+                best = cand
+        _, _, i, mode = best
+        (a0, a1, ja), (b0, b1, jb) = levels(w_j)[i], levels(w_j)[i + 1]
+        if mode == "raise":
+            w_j[b0:b1] = ja
+        else:
+            w_j[a0:a1] = jb
+
+    panels: list[tuple[int, int, int]] = []
+    for b0, b1, j in levels(w_j):
+        r0, r1 = int(b0) * B, min(int(b1) * B, m)
+        if r1 > r0:
+            panels.append((int(r0), int(r1), int(ladder[j])))
+    return panels
+
+
 def plan_hybrid(R: RatingMatrix, cfg: Config, *,
                 materialize_dense: bool = True,
                 num_shards: int = 1) -> HybridPlan:
@@ -192,6 +325,17 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
     rp = user_pos.astype(np.int32)[r]
     cp = item_pos.astype(np.int32)[c]
 
+    align = 8 * num_shards // np.gcd(8, num_shards)     # lcm(8, N)
+    budget = int(cfg.hybrid_dense_cells)
+    if cfg.hybrid_panel_widths == "auto":
+        # data-driven stair: widths AND boundaries chosen from the degree
+        # distribution under the budget (Lagrangian + stair projection)
+        panels = _auto_stair(rp, cp, m, n, budget, align,
+                             max_panels=cfg.hybrid_max_panels)
+        return _finish_plan(R, cfg, materialize_dense, num_shards, panels,
+                            user_order, item_order, user_pos, item_pos,
+                            deg_u, deg_i, rp, cp, v)
+
     widths = [n] + sorted({min(int(w), n) for w in cfg.hybrid_panel_widths
                            if 0 < int(w) < n}, reverse=True)
     # coverage prefix per width: P_w[x] = nnz of the x top users inside the
@@ -214,9 +358,7 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
                else csum[:, int(np.searchsorted(sub, w))])
         prefixes.append(np.concatenate([[0], np.cumsum(cov)]))
 
-    align = 8 * num_shards // np.gcd(8, num_shards)     # lcm(8, N)
     cand = _candidate_boundaries(m, align, include_full=(num_shards == 1))
-    budget = int(cfg.hybrid_dense_cells)
     best_r = _search_boundaries(prefixes, widths, cand, budget)
 
     panels = []
@@ -226,6 +368,17 @@ def plan_hybrid(R: RatingMatrix, cfg: Config, *,
             panels.append((r_prev, rb, w))
             r_prev = rb
 
+    return _finish_plan(R, cfg, materialize_dense, num_shards, panels,
+                        user_order, item_order, user_pos, item_pos,
+                        deg_u, deg_i, rp, cp, v)
+
+
+def _finish_plan(R, cfg, materialize_dense, num_shards, panels,
+                 user_order, item_order, user_pos, item_pos,
+                 deg_u, deg_i, rp, cp, v) -> HybridPlan:
+    """Split the degree-sorted COO into panel cells vs the sparse remainder
+    for a given panel stair and assemble the HybridPlan."""
+    m, n = R.rows, R.cols
     # split COO: panel cells vs sparse remainder — ONE stable partition by
     # panel id (remainder last) instead of a boolean-mask cascade per panel;
     # within each group the COO (CSR) order is preserved, byte-identical to

@@ -52,7 +52,7 @@ def main():
     m = int(os.environ.get("CRTPU_BENCH_M", 480_189))
     n = int(os.environ.get("CRTPU_BENCH_N", 17_770))
     mask_dtype = os.environ.get("CRTPU_MASK_DTYPE", "bfloat16")
-    panel_kernel = bool(int(os.environ.get("CRTPU_PANEL_KERNEL", "0")))
+    panel_kernel = bool(int(os.environ.get("CRTPU_PANEL_KERNEL", "1")))
     widths = tuple(int(w) for w in os.environ.get(
         "CRTPU_PANEL_WIDTHS", "2048,256").split(",") if w)
     lam = 0.05

@@ -92,9 +92,12 @@ def main():
                                              uslots(u), -1.0,
                                              gathered=[p[0] for p in pr])
                 if mode >= 3:
-                    gm = jnp.stack([gr, hr])[:, :m]   # slot->entity, m-sized
-                    u = u + 1e-12 * (gm[0][sou] / (1.0 + gm[1][sou]))
-                    v = v + 1e-12 * (g[:n][soi] + h[:n][soi])
+                    # slot->entity remaps, shape-faithful to production:
+                    # gather from the FULL n_slots-sized partial arrays with
+                    # the (m,)/(n,)-sized slot maps, exactly as
+                    # ccd_hybrid.py's `g_lr[slot_of_upos]` / `g_l[soi]` do
+                    u = u + 1e-12 * (gr[sou] / (1.0 + hr[sou]))
+                    v = v + 1e-12 * (g[soi] + h[soi])
                 else:
                     u = u + 1e-12 * jnp.sum(gr[:8]) + 1e-12 * jnp.sum(g[:8])
                     v = v + 1e-12 * jnp.sum(hr[:8]) + 1e-12 * jnp.sum(h[:8])

@@ -293,3 +293,50 @@ def test_hybrid_full_budget_has_no_tail(small_data, ccd_golden):
     assert plan.nnz_light == 0
     W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
     _assert_matches(W, H, stats, Wr, Hr, stats_r)
+
+
+def test_hybrid_auto_stair_plan_properties():
+    """The data-driven stair (hybrid_panel_widths='auto'): budget respected,
+    widths non-increasing over a contiguous row stair, panel count capped,
+    and coverage at least matching the hand-width legacy planner at the
+    same budget (VERDICT r2 #3)."""
+    from cuda_recommender_tpu.data import datasets
+    R, _ = datasets.synthetic(m=2000, n=600, nnz=40000, seed=11)
+    budget = 60 * R.cols
+    cfg = Config(backend="hybrid", hybrid_dense_cells=budget,
+                 hybrid_panel_widths="auto", hybrid_max_panels=4)
+    plan = plan_hybrid(R, cfg, materialize_dense=False)
+    assert plan.panels and len(plan.panels) <= 4
+    prev_r, prev_w = 0, R.cols + 1
+    cells = 0
+    for r0, r1, w in plan.panels:
+        assert r0 == prev_r and r1 > r0 and w < prev_w
+        prev_r, prev_w = r1, w
+        cells += (r1 - r0) * w
+    assert cells <= budget
+    cfg_legacy = Config(backend="hybrid", hybrid_dense_cells=budget,
+                        hybrid_panel_widths=(256, 128))
+    plan_legacy = plan_hybrid(R, cfg_legacy, materialize_dense=False)
+    assert plan.nnz_light <= plan_legacy.nnz_light
+
+
+def test_hybrid_auto_stair_golden(small_data, ccd_golden):
+    """Auto-stair plans train to the same factors as the reference solver
+    (the planner changes the decomposition, never the math)."""
+    R, T = small_data
+    W0, H0, Wr, Hr, stats_r = ccd_golden
+    cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                 backend="hybrid", hybrid_dense_cells=100 * R.cols,
+                 hybrid_panel_widths="auto")
+    W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    _assert_matches(W, H, stats, Wr, Hr, stats_r)
+
+
+def test_hybrid_auto_stair_full_budget(small_data):
+    """budget >= m*n: the auto stair degenerates to one full panel."""
+    R, _ = small_data
+    cfg = Config(backend="hybrid", hybrid_dense_cells=R.rows * R.cols,
+                 hybrid_panel_widths="auto")
+    plan = plan_hybrid(R, cfg, materialize_dense=False)
+    assert plan.panels == ((0, R.rows, R.cols),)
+    assert plan.nnz_light == 0
