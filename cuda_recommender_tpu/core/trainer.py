@@ -80,10 +80,11 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         if mesh is not None:
             raise NotImplementedError(
                 "phase_timing is single-device (per-phase fences)")
-        if backend in (Backend.HYBRID, Backend.PALLAS):
+        if backend == Backend.PALLAS:
             raise NotImplementedError(
-                f"phase_timing is not implemented for the {backend.value} "
-                "backend; use dense or ell")
+                "phase_timing is not implemented for the pallas backend; "
+                "use dense (same dense-residual schedule) — hybrid, dense "
+                "and ell all support it")
         if cfg.verbose:
             kw["rank_callback"] = (
                 lambda oiter, t, dt, rmse: log.rank(

@@ -349,6 +349,7 @@ def ccd_hybrid_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         Rds, vals_r, vals_c, W, H, up, vp = box["s"]
         box["s"] = step_fn(idx_r, idx_c, Rds, masks, vals_r, vals_c, W, H,
                            up, vp, row_nnz, col_nnz, lsu, lsi, eosr, eosi)
+        return box["s"][3]
 
     def do_rmse():
         _, _, _, W, H, _, _ = box["s"]

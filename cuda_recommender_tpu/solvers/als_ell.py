@@ -243,6 +243,7 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     def do_step():
         W, H = box["WH"]
         box["WH"] = step_fn(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
+        return box["WH"][0]
 
     def do_rmse():
         W, H = box["WH"]

@@ -315,6 +315,7 @@ def ccd_dense_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     def do_step():
         box["state"] = step_fn(box["state"], mask, row_nnz_d, col_nnz_d)
+        return box["state"].W
 
     stats = pipelined_loop(
         start_oiter=start_oiter, maxiter=cfg.maxiter,

@@ -271,6 +271,7 @@ def ccd_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
         vals_r, vals_c, W, H, u_pend, v_pend = box["s"]
         box["s"] = step_fn(idx_r, idx_c, vals_r, vals_c, W, H,
                            rnnz_r, rnnz_c, u_pend, v_pend)
+        return box["s"][2]
 
     def do_rmse():
         _, _, W, H, _, _ = box["s"]

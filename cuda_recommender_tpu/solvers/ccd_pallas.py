@@ -113,6 +113,7 @@ def ccd_pallas_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     def do_step():
         box["state"] = step_fn(box["state"], mask, row_nnz_d, col_nnz_d)
+        return box["state"].W
 
     def do_rmse():
         s = box["state"]

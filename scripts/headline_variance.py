@@ -86,22 +86,58 @@ def main():
     s = run(s)
     _ = np.asarray(s[3]).sum()
     print(f"compile+iter1: {time.perf_counter()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    _ = np.asarray(s[3]).sum()
-    t_xfer = time.perf_counter() - t0
 
+    def xfer():
+        t0 = time.perf_counter()
+        _ = np.asarray(s[3]).sum()
+        return time.perf_counter() - t0
+
+    # transfer time is itself a distribution over the tunnel — sample it
+    xfers = [round(xfer(), 3) for _ in range(5)]
+    t_xfer = float(np.median(xfers))
+    print(f"t_xfer samples: {xfers} (median {t_xfer:.3f})", flush=True)
+
+    # Phase A: bench.py-style per-iteration full fences
     samples = []
     for i in range(iters):
         t0 = time.perf_counter()
         s = run(s)
         _ = np.asarray(s[3]).sum()
         samples.append(round(time.perf_counter() - t0 - t_xfer, 3))
-        print(f"iter {i + 2}: {samples[-1]:.3f}s", flush=True)
+        print(f"A iter {i + 2}: {samples[-1]:.3f}s", flush=True)
+
+    # Phase B: decompose-style pooled groups (3 back-to-back dispatches,
+    # ONE fence) — if B << A, the gap is fencing overhead, not solver work
+    pooled = []
+    for g in range(4):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            s = run(s)
+        _ = np.asarray(s[3]).sum()
+        pooled.append(round((time.perf_counter() - t0 - t_xfer) / 3, 3))
+        print(f"B group {g}: {pooled[-1]:.3f}s/iter", flush=True)
+
+    # Phase C: per-iteration fences again, ~30 state iterations later — if
+    # C >> A the slowdown tracks STATE EVOLUTION, not methodology
+    late = []
+    for i in range(max(4, iters // 3)):
+        t0 = time.perf_counter()
+        s = run(s)
+        _ = np.asarray(s[3]).sum()
+        late.append(round(time.perf_counter() - t0 - t_xfer, 3))
+        print(f"C iter: {late[-1]:.3f}s", flush=True)
+    xfers_end = [round(xfer(), 3) for _ in range(3)]
+    print(f"t_xfer at end: {xfers_end}", flush=True)
 
     out = {"workload": "headline variance probe", "probe_subprocess": PROBE,
-           "k": k, "t_xfer_s": round(t_xfer, 3),
-           "iter_s_samples": samples,
-           "median_s": round(float(np.median(samples)), 3)}
+           "k": k, "t_xfer_samples": xfers, "t_xfer_s": round(t_xfer, 3),
+           "t_xfer_end_samples": xfers_end,
+           "per_iter_fenced_samples": samples,
+           "per_iter_fenced_median_s": round(float(np.median(samples)), 3),
+           "pooled_3x_samples": pooled,
+           "pooled_median_s": round(float(np.median(pooled)), 3),
+           "late_per_iter_fenced_samples": late,
+           "late_median_s": round(float(np.median(late)), 3)}
     print("RESULT " + json.dumps(out), flush=True)
 
 
