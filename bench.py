@@ -27,10 +27,14 @@ measured paired row-gather rate (~3.3 ns/row, 1 pair-gather per side per
 rank). 1.0 = the hardware roofline of this decomposition (convert passes
 unmodeled, so sub-f32 dtypes understate).
 
-Methodology per the axon-tunnel rules: full-tensor readback fences with the
-transfer cost subtracted; persistent compile cache; dataset disk-cached; one
-scatter program per panel (a fused densify OOMs); see
-scripts/bench_hybrid_tpu.py for the exploratory version of this flow.
+Methodology per the axon-tunnel rules: full-tensor readback fences (the only
+fence that reliably waits on this platform), GROUP-DIFFERENCE timing so the
+fence's fresh-readback cost cancels instead of being "subtracted" (a
+jax.Array caches its fetched value, so a re-fetch measures ~8 ms while a
+fresh fence costs a congestion-varying ~2 s — the round-2 headline
+discrepancy, results/headline_variance_r3.json); persistent compile cache;
+dataset disk-cached; one scatter program per panel (a fused densify OOMs);
+see scripts/bench_hybrid_tpu.py for the exploratory version of this flow.
 """
 
 import json
@@ -198,21 +202,35 @@ def main() -> None:
     _ = np.asarray(s[3]).sum()                   # full fence
     s = run(s)                                   # warmup
     _ = np.asarray(s[3]).sum()
-    t0 = time.perf_counter()
-    _ = np.asarray(s[3]).sum()
-    t_xfer = time.perf_counter() - t0
 
-    # per-iteration fenced samples -> median + spread (round-2 verdict: 3
-    # pooled iterations could not even see the 27% swing between the
-    # committed artifact and the driver's record; the spread is now part of
-    # the record itself)
-    samples = []
-    for _ in range(iters):
+    # Group-difference timing (results/headline_variance_r3.json): a fresh
+    # full-tensor fence costs a 2-8 s congestion-varying tunnel readback
+    # that CANNOT be pre-measured and subtracted — a jax.Array caches its
+    # fetched value, so re-fetching the same W reads ~8 ms. Instead time
+    # dispatch groups of 1 and of GROUP iterations, each ending in one
+    # fresh fence, and difference them: per-iter = (T_G - T_1)/(GROUP - 1)
+    # — the fence term cancels in expectation and its variance is divided
+    # by GROUP-1. Medians over the group pairs.
+    GROUP = 8 if on_tpu else 3
+
+    def timed_group(g):
+        st = s
         t0 = time.perf_counter()
-        s = run(s)
-        _ = np.asarray(s[3]).sum()
-        samples.append(time.perf_counter() - t0 - t_xfer)
-    dt = float(np.median(samples))
+        for _ in range(g):
+            st = run(st)
+        _ = np.asarray(st[3]).sum()
+        return time.perf_counter() - t0, st
+
+    t1s, tgs = [], []
+    for _ in range(max(2, iters // 2)):
+        d1, s = timed_group(1)
+        t1s.append(d1)
+        dg, s = timed_group(GROUP)
+        tgs.append(dg)
+    t1_med, tg_med = float(np.median(t1s)), float(np.median(tgs))
+    dt = (tg_med - t1_med) / (GROUP - 1)
+    fence_cost = t1_med - dt
+    samples = [(g - o) / (GROUP - 1) for g, o in zip(tgs, t1s)]
 
     # composite roofline of this decomposition on this chip
     panel_cells = sum((r1 - r0) * w for r0, r1, w in plan.panels)
@@ -246,9 +264,13 @@ def main() -> None:
                         "hybrid (dense panel stair + paired-gather ELL tail)"),
             "residual_dtype": rdt_name, "mask_dtype": mdt_name,
             "k": k, "outer_iter_s": round(dt, 3),
+            "timing": f"group-difference: per-iter = (median T_{GROUP}grp - "
+                      f"median T_1grp) / {GROUP - 1}, fence/readback term "
+                      "cancels (results/headline_variance_r3.json)",
             "iter_s_samples": [round(x, 3) for x in samples],
             "iter_s_min_max": [round(min(samples), 3),
                                round(max(samples), 3)],
+            "fence_readback_s": round(fence_cost, 3),
             "panels": [list(p) for p in plan.panels],
             "nnz_light_frac": round(plan.nnz_light / R.nnz, 4),
             "rmse_after_5_iters": round(rmse, 4),

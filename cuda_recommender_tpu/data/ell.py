@@ -210,10 +210,14 @@ def _plan_buckets(degrees: np.ndarray, min_width: int,
 
 
 def _build_side(ptr: np.ndarray, n_entities: int, *, min_width: int,
-                num_shards: int) -> tuple[EllSide, list[list[np.ndarray]]]:
+                num_shards: int,
+                alloc: bool = True) -> tuple[EllSide, list[list[np.ndarray]]]:
     """First pass: slot assignment + bucket geometry. Returns the side with
     placeholder idx/val plus, per bucket, the per-slot raw entity ids (for the
-    fill pass)."""
+    fill pass). ``alloc=False`` skips the (rows, L) bucket allocations —
+    geometry only, from the tiny ptr array alone; used by the host-local
+    shard loader (data/shard_loader.py) where no process may hold full
+    nnz-scale arrays."""
     deg = np.diff(ptr).astype(np.int64)
     plan, empty = _plan_buckets(deg, min_width)
 
@@ -272,10 +276,11 @@ def _build_side(ptr: np.ndarray, n_entities: int, *, min_width: int,
     for (E, p, rows_ps, grid), boff in zip(buckets_meta, bucket_offsets):
         L = p * E          # <= LANE when E < LANE; XLA pads storage lanes only
         rows = num_shards * rows_ps
+        shape = (rows, L) if alloc else (0, L)
         buckets.append(EllBucket(
             E=E, p=p, rows_per_shard=rows_ps, slots_per_shard=rows_ps * p,
-            idx=np.zeros((rows, L), dtype=np.int32),
-            val=np.zeros((rows, L), dtype=np.float32),
+            idx=np.zeros(shape, dtype=np.int32),
+            val=np.zeros(shape, dtype=np.float32),
         ))
         fill_grids.append(grid)
 
@@ -333,6 +338,30 @@ def _fill_side(side: EllSide, fill_grids, ptr, nbr_idx, nbr_val,
                 b.idx[r, c0:c0 + d] = other_slot_of_entity[nbr_idx[lo:hi]]
                 b.val[r, c0:c0 + d] = nbr_val[lo:hi]
     return dataclasses.replace(side, other_zero_slot=other_zero_slot)
+
+
+def plan_ell_pair(csr_ptr: np.ndarray, csc_ptr: np.ndarray, n_rows: int,
+                  n_cols: int, *, min_width: int = 8, num_shards: int = 1
+                  ) -> tuple[EllSide, EllSide, list, list]:
+    """Geometry-only layout of both orientations from the ptr arrays alone
+    (degrees are all the bucketing needs). Bucket idx/val are (0, L)
+    placeholders — no nnz-scale allocation happens. Returns
+    (rows_side, cols_side, rows_fill_grids, cols_fill_grids); the fill grids
+    map each (shard, slot) to its raw entity id so a host-local loader
+    (data/shard_loader.py) can range-read and fill ONLY its shards' rows.
+
+    Every process derives the identical deterministic layout, mirroring how
+    the reference's offline converter fixes the layout once
+    (/root/reference/src/tools.cpp:3-85) and every run just reads it."""
+    rows_side, rows_grids = _build_side(csr_ptr, n_rows, min_width=min_width,
+                                        num_shards=num_shards, alloc=False)
+    cols_side, cols_grids = _build_side(csc_ptr, n_cols, min_width=min_width,
+                                        num_shards=num_shards, alloc=False)
+    rows_side = dataclasses.replace(rows_side,
+                                    other_zero_slot=cols_side.n_slots)
+    cols_side = dataclasses.replace(cols_side,
+                                    other_zero_slot=rows_side.n_slots)
+    return rows_side, cols_side, rows_grids, cols_grids
 
 
 def build_ell_pair(R: RatingMatrix, *, min_width: int = 8,

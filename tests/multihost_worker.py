@@ -1,14 +1,20 @@
 """Multi-process worker for the real multi-host test (tests/test_multihost.py).
 
 Each of the two worker processes owns 4 virtual CPU devices, joins the
-process group via ``multihost.initialize`` (jax.distributed), builds ONLY its
-host-local blocks of the sharded ELL arrays, assembles global jax.Arrays with
-``multihost.assemble_global`` (no process ever device_puts the full data),
-runs 2 sharded CCD++ outer iterations with the production shard_map step, and
-dumps its addressable factor shards for the test to reassemble and compare
-against the single-process run.
+process group via ``multihost.initialize`` (jax.distributed), and loads its
+shard rows HOST-LOCALLY from the reference-format binary dataset dir the
+parent test wrote: the tiny ptr arrays give every process the identical
+deterministic ELL layout (data/ell.plan_ell_pair), and range reads fetch
+ONLY the idx/val bytes of the entities this process's shards own
+(data/shard_loader.py — the worker asserts its nnz_read stays within its
+fair share, so no process ever holds the full nnz arrays). The local blocks
+feed ``multihost.assemble_global``, then 2 sharded CCD++ outer iterations
+run through the production shard_map step and the addressable factor shards
+are dumped for the test to reassemble and compare against the
+single-process run.
 
 Usage: python multihost_worker.py <process_id> <num_processes> <port> <outdir>
+       (the dataset dir is <outdir>/data, written by the parent test)
 """
 
 import os
@@ -24,9 +30,10 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 from jax.sharding import PartitionSpec as P  # noqa: E402
 
-from cuda_recommender_tpu.data.datasets import synthetic  # noqa: E402
-from cuda_recommender_tpu.data.ell import build_ell_pair  # noqa: E402
 from cuda_recommender_tpu.core.init import init_factors_np  # noqa: E402
+from cuda_recommender_tpu.data.ell import EllPair  # noqa: E402
+from cuda_recommender_tpu.data.shard_loader import (  # noqa: E402
+    load_local_ell_shards)
 from cuda_recommender_tpu.parallel import multihost  # noqa: E402
 from cuda_recommender_tpu.parallel.ccd_ell_sharded import (  # noqa: E402
     make_sharded_ell_step)
@@ -45,28 +52,50 @@ def main() -> None:
     assert jax.device_count() == 4 * nproc
     mesh = multihost.global_mesh()
     n_dev = mesh.devices.size
+    mine = multihost.local_shard_ids(mesh)
 
-    # every process derives the same deterministic dataset and layout; a real
-    # loader would read only its shard rows — the assemble path is identical
-    R, T = synthetic(m=M, n=N, nnz=NNZ, seed=SEED)
-    ell = build_ell_pair(R, min_width=8, num_shards=n_dev)
-    rows, cols = ell.rows_side, ell.cols_side
-    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    # host-local load: layout from the tiny ptr arrays, nnz by range reads
+    # of ONLY this process's shard entities
+    shards = load_local_ell_shards(os.path.join(outdir, "data"), n_dev,
+                                   mine, min_width=8)
+    rows, cols = shards.rows_side, shards.cols_side
+    # honesty: this process read EXACTLY its own shards' entities' neighbor
+    # entries (per-shard slot_nnz totals), strictly less than the full nnz
+    expected = 0
+    for side in (rows, cols):
+        for s in mine:
+            sl = slice(s * side.slots_per_shard,
+                       (s + 1) * side.slots_per_shard)
+            expected += int(side.slot_nnz[sl].sum())
+    assert shards.nnz_read == expected, (
+        f"process {pid} read {shards.nnz_read} neighbor entries, expected "
+        f"exactly its shards' {expected}")
+    assert shards.nnz_read < 2 * NNZ
+    ell = EllPair(rows_side=rows, cols_side=cols, n_rows=M, n_cols=N,
+                  nnz=NNZ)
+    W0, _ = init_factors_np(K, M, N, seed=0)
 
-    def rows_blocks(arr):            # bucket arrays: shard-major on axis 0
-        return multihost.shard_rows_for_process(arr, mesh)
+    def put_bucket(side, blocks_b, rows_per_shard, L, which):
+        blks = [np.ascontiguousarray(pair[which]) for pair in blocks_b]
+        return multihost.assemble_global(
+            blks, mesh, P(AXIS, None), (n_dev * rows_per_shard, L))
+
+    def put_side(side, blocks):
+        idx, val = [], []
+        for b, blocks_b in zip(side.buckets, blocks):
+            idx.append(put_bucket(side, blocks_b, b.rows_per_shard, b.L, 0))
+            val.append(put_bucket(side, blocks_b, b.rows_per_shard, b.L, 1))
+        return tuple(idx), tuple(val)
+
+    idx_r, vals_r = put_side(rows, shards.rows_blocks)
+    idx_c, vals_c = put_side(cols, shards.cols_blocks)
 
     def col_blocks(arr):             # (k, n_slots) factors: sharded axis 1
         per = arr.shape[1] // n_dev
-        return [arr[:, i * per:(i + 1) * per]
-                for i in multihost.local_shard_ids(mesh)]
+        return [arr[:, i * per:(i + 1) * per] for i in mine]
 
     def vec_blocks(arr):             # (n_slots,) slot vectors
         return multihost.shard_rows_for_process(arr, mesh)
-
-    def put_rows(arr):
-        return multihost.assemble_global(rows_blocks(arr), mesh,
-                                         P(AXIS, None), arr.shape)
 
     def put_cols(arr):
         return multihost.assemble_global(col_blocks(arr), mesh,
@@ -75,11 +104,6 @@ def main() -> None:
     def put_vec(arr):
         return multihost.assemble_global(vec_blocks(arr), mesh, P(AXIS),
                                          arr.shape)
-
-    idx_r = tuple(put_rows(b.idx) for b in rows.buckets)
-    idx_c = tuple(put_rows(b.idx) for b in cols.buckets)
-    vals_r = tuple(put_rows(b.val) for b in rows.buckets)
-    vals_c = tuple(put_rows(b.val) for b in cols.buckets)
 
     W_s = np.zeros((K, rows.n_slots), np.float32)
     W_s[:, rows.slot_of_entity] = W0
@@ -102,7 +126,7 @@ def main() -> None:
             start = s.index[1].start or 0
             out[f"{name}_{start}"] = np.asarray(s.data)
     np.savez(os.path.join(outdir, f"shards_{pid}.npz"), **out)
-    print(f"worker {pid} done", flush=True)
+    print(f"worker {pid} done (nnz_read={shards.nnz_read})", flush=True)
 
 
 if __name__ == "__main__":

@@ -156,11 +156,21 @@ def test_two_process_als_matches_single_process(tmp_path):
 
 def test_two_process_distributed_matches_single_process(tmp_path):
     """Spawn 2 real OS processes, each owning 4 CPU devices, joined via
-    jax.distributed.initialize; run 2 sharded CCD++ outer iterations with
-    cross-process all_gather collectives; the factors each process's
-    addressable shards contribute must reassemble to EXACTLY the
-    single-process 8-device result (the step is deterministic)."""
+    jax.distributed.initialize; each loads ONLY its shards' rows from the
+    reference-format binary dataset dir via range reads
+    (data/shard_loader.py — the workers assert their nnz_read stays within
+    fair share, so no process ever holds the full nnz arrays); run 2
+    sharded CCD++ outer iterations with cross-process all_gather
+    collectives; the factors each process's addressable shards contribute
+    must reassemble to EXACTLY the single-process 8-device result (the
+    step is deterministic)."""
     import multihost_worker as mw          # constants shared with the worker
+
+    from cuda_recommender_tpu.data.binfmt import write_binary_dataset
+    from cuda_recommender_tpu.data.datasets import synthetic as synth
+
+    Rw, Tw = synth(m=mw.M, n=mw.N, nnz=mw.NNZ, seed=mw.SEED)
+    write_binary_dataset(str(tmp_path / "data"), Rw, Tw)
 
     with socket.socket() as s:             # free port for the coordinator
         s.bind(("localhost", 0))
