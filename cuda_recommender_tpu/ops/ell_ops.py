@@ -84,38 +84,174 @@ def sweep_new_values(idx_tiles, val_tiles, side: EllSide, other_ext: jnp.ndarray
     return (jnp.maximum(new_vals, 0.0) if nmf else new_vals), gathers
 
 
-def paired_gather(pair_ext: jnp.ndarray, idx_tiles) -> list:
-    """Gather a 2-wide table (S+1, 2) at bucket index tiles in ROW-gather
-    mode with bounded padded temps.
+def _row_gather_tiles(table_ext: jnp.ndarray, ix: jnp.ndarray) -> tuple:
+    """Chunked ROW-mode gather of a T-wide table (S+1, T) at one (rows, L)
+    index tile; returns T (rows, L) arrays.
 
     Two measured TPU facts collide here (ARCHITECTURE.md): 1-wide gathers
-    from a flat (S,) table run in scalar mode (~7.7 ns/element) while 2-wide
-    gathers from an (S, 2) table run in row mode (~3.3 ns/ROW — both values
-    arrive for the price of one); but a materialized (rows, L, 2) gather
-    output pads its minor dim 2 -> 128 lanes, a ~31x HLO-temp expansion
+    from a flat (S,) table run in scalar mode (~7.7 ns/element) while T>=2
+    gathers from an (S, T) table run in row mode (~3.3 ns/ROW — all T values
+    arrive for the price of one); but a materialized (rows, L, T) gather
+    output pads its minor dim T -> 128 lanes, a ~31x HLO-temp expansion
     (7.6 GB at Netflix dims). Chunking the rows under lax.map keeps exactly
     one chunk's padded buffer live while every gather still issues in row
     mode. Padding chunks index the table's last row — the appended zero row
     (extend_zero), so they gather exact zeros.
-
-    Returns per-bucket (first, second) (rows, L) arrays.
     """
-    zero_row = pair_ext.shape[0] - 1
-    out = []
-    for ix in idx_tiles:
+    zero_row = table_ext.shape[0] - 1
+    T = int(table_ext.shape[1])
+    rows, L = ix.shape
+    chunk = max(8, (1 << 19) // max(1, L))       # padded temp ~256 MB cap
+    pad = (-rows) % chunk
+    ixp = (jnp.concatenate(
+        [ix, jnp.full((pad, L), zero_row, ix.dtype)]) if pad else ix)
+
+    def body(ic):
+        g = table_ext[ic]                        # (chunk, L, T) bounded temp
+        return tuple(g[..., j] for j in range(T))
+
+    outs = jax.lax.map(body, ixp.reshape(-1, chunk, L))
+    return tuple(o.reshape(-1, L)[:rows] for o in outs)
+
+
+def paired_gather(pair_ext: jnp.ndarray, idx_tiles) -> list:
+    """Gather a 2-wide table (S+1, 2) at bucket index tiles in ROW-gather
+    mode with bounded padded temps (_row_gather_tiles). Returns per-bucket
+    (first, second) (rows, L) arrays.
+
+    NOTE (measured, results/residual_update_micro_r3.json): feeding a
+    returned tile to MORE THAN ONE consumer op makes XLA re-run the chunked
+    gather map per consumer (~28 ms/rank extra at Netflix dims). When the
+    same gather must serve residual updates AND a sweep, use
+    fused_update_sweep instead.
+    """
+    return [_row_gather_tiles(pair_ext, ix)[:2] for ix in idx_tiles]
+
+
+def stacked_remap(vectors, idx: jnp.ndarray) -> list:
+    """Gather J >= 2 equal-length vectors at one shared flat int index in a
+    single ROW-mode pass: the vectors are stacked (S, J), extended by a zero
+    row (sentinel index S), and the flat index is tiled through the chunked
+    row gather. Returns J (idx.size,) arrays.
+
+    Replaces per-vector 1-wide gathers that each ran scalar-mode
+    (~7.7 ns/element): the slot<->entity remaps of the hybrid tail measured
+    8.1 ms/rank as four scalar gathers (results/tail_micro_r3.json) and ride
+    the ~3.3 ns/row mode stacked."""
+    tab = extend_zero(jnp.stack(list(vectors), axis=-1))
+    sent = tab.shape[0] - 1
+    n = idx.shape[0]
+    L = min(1024, max(128, n))
+    pad = (-n) % L
+    ixp = (jnp.concatenate([idx, jnp.full((pad,), sent, idx.dtype)])
+           if pad else idx)
+    outs = _row_gather_tiles(tab, ixp.reshape(-1, L))
+    return [o.reshape(-1)[:n] for o in outs]
+
+
+def fused_update_sweep(idx_tiles, val_tiles, side: EllSide,
+                       table_ext: jnp.ndarray, owns, signs,
+                       sweep_col: int):
+    """ONE chunked gather pass per bucket serving the residual update(s) AND
+    the sweep partials — the single-consumer fix for the measured
+    rematerialization pathology (results/residual_update_micro_r3.json: a
+    gathered tile fed to >1 consumer op re-runs the whole chunked gather per
+    consumer, ~28 ms/rank at Netflix dims).
+
+    Inside each lax.map chunk the T-wide gathered tile ``g`` is consumed by
+    exactly one chain:
+
+        val += Σ_j signs[j] · g[..., j] · own_j        (UpdateRating,
+                                                        src/CCD.cpp:18-43)
+        g_s  = Σ_lanes g[..., sweep_col] · val_new     (RankOneUpdate
+        h_s  = Σ_lanes g[..., sweep_col]²               numer/denom partials,
+                                                        src/CCD.cpp:6-16)
+
+    ``owns``: per-update (n_slots,) slot vectors (entity vectors remapped by
+    the caller, e.g. with stacked_remap); ``signs``: matching floats; update
+    j consumes table column j; the sweep consumes the UPDATED values.
+    Returns (new_val_tiles, g_slots, h_slots) with zero tails for non-bucket
+    slots (like sweep_partials)."""
+    if not side.buckets:
+        z = jnp.zeros(side.n_slots, jnp.float32)
+        return tuple(val_tiles), z, z
+    zero_row = table_ext.shape[0] - 1
+    sgn = [jnp.float32(s) for s in signs]
+    new_vals, gs, hs = [], [], []
+    for i, b in enumerate(side.buckets):
+        ix, val = idx_tiles[i], val_tiles[i]
         rows, L = ix.shape
-        chunk = max(8, (1 << 19) // max(1, L))   # padded temp ~256 MB cap
+        p, E = b.p, b.E
+        chunk = max(8, (1 << 19) // max(1, L))
         pad = (-rows) % chunk
-        ixp = (jnp.concatenate(
-            [ix, jnp.full((pad, L), zero_row, ix.dtype)]) if pad else ix)
+        if pad:
+            ix = jnp.concatenate([ix, jnp.full((pad, L), zero_row, ix.dtype)])
+            val = jnp.concatenate([val, jnp.zeros((pad, L), val.dtype)])
+        own_t = tuple(
+            jnp.pad(_bslice(o, side, i), (0, pad * p)).reshape(-1, chunk, p)
+            for o in owns)
 
-        def body(ic):
-            g = pair_ext[ic]                     # (chunk, L, 2) bounded temp
-            return g[..., 0], g[..., 1]
+        def body(args, p=p, E=E, L=L):
+            ic, vc, ocs = args
+            g = table_ext[ic]                    # (chunk, L, T) — ONE temp,
+            for j, (s, oc) in enumerate(zip(sgn, ocs)):  # one consumer chain
+                ob = jnp.broadcast_to(oc[:, :, None],
+                                      oc.shape + (E,)).reshape(-1, L)
+                vc = vc + s * g[..., j] * ob
+            sw = g[..., sweep_col]
+            gsc = (sw * vc).reshape(-1, p, E).sum(axis=-1)
+            hsc = (sw * sw).reshape(-1, p, E).sum(axis=-1)
+            return vc, gsc, hsc
 
-        a, b = jax.lax.map(body, ixp.reshape(-1, chunk, L))
-        out.append((a.reshape(-1, L)[:rows], b.reshape(-1, L)[:rows]))
-    return out
+        nv, gb, hb = jax.lax.map(
+            body, (ix.reshape(-1, chunk, L), val.reshape(-1, chunk, L),
+                   own_t))
+        new_vals.append(nv.reshape(-1, L)[:rows])
+        gs.append(gb.reshape(-1)[:rows * p])
+        hs.append(hb.reshape(-1)[:rows * p])
+    tail = side.n_slots - (side.bucket_offsets[-1]
+                           + side.buckets[-1].slots_per_shard)
+    ztail = [jnp.zeros(tail, jnp.float32)] if tail else []
+    return (tuple(new_vals), jnp.concatenate(gs + ztail),
+            jnp.concatenate(hs + ztail))
+
+
+def fused_sweep(idx_tiles, val_tiles, side: EllSide, table_ext: jnp.ndarray,
+                sweep_col: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sweep partials with the gather fused into the map body (no residual
+    update): g = Σ g_tile·val, h = Σ g_tile² per slot, the gathered tile
+    consumed inside its own chunk. Used by inner iterations (i > 0), which
+    re-sweep without touching the residual. Returns (g_slots, h_slots)."""
+    if not side.buckets:
+        z = jnp.zeros(side.n_slots, jnp.float32)
+        return z, z
+    zero_row = table_ext.shape[0] - 1
+    gs, hs = [], []
+    for i, b in enumerate(side.buckets):
+        ix, val = idx_tiles[i], val_tiles[i]
+        rows, L = ix.shape
+        p, E = b.p, b.E
+        chunk = max(8, (1 << 19) // max(1, L))
+        pad = (-rows) % chunk
+        if pad:
+            ix = jnp.concatenate([ix, jnp.full((pad, L), zero_row, ix.dtype)])
+            val = jnp.concatenate([val, jnp.zeros((pad, L), val.dtype)])
+
+        def body(args, p=p, E=E):
+            ic, vc = args
+            sw = table_ext[ic][..., sweep_col]
+            gsc = (sw * vc).reshape(-1, p, E).sum(axis=-1)
+            hsc = (sw * sw).reshape(-1, p, E).sum(axis=-1)
+            return gsc, hsc
+
+        gb, hb = jax.lax.map(
+            body, (ix.reshape(-1, chunk, L), val.reshape(-1, chunk, L)))
+        gs.append(gb.reshape(-1)[:rows * p])
+        hs.append(hb.reshape(-1)[:rows * p])
+    tail = side.n_slots - (side.bucket_offsets[-1]
+                           + side.buckets[-1].slots_per_shard)
+    ztail = [jnp.zeros(tail, jnp.float32)] if tail else []
+    return jnp.concatenate(gs + ztail), jnp.concatenate(hs + ztail)
 
 
 def sweep_partials(idx_tiles, val_tiles, side: EllSide, other_ext,

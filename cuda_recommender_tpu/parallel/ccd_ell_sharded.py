@@ -32,7 +32,7 @@ from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
-from ..ops.ell_ops import extend_zero, residual_update, sweep_new_values
+from ..ops.ell_ops import (extend_zero, fused_sweep, fused_update_sweep)
 from ..solvers.pipeline import early_stopped
 from ..solvers.reference import IterStats
 from .mesh import AXIS, ell_shardings
@@ -44,12 +44,17 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
     rows, cols = ell.rows_side.local_view(), ell.cols_side.local_view()
     lam_ = jnp.float32(lam)
 
-    def gather_full(x_loc):
-        """Local slot block -> global slot table (+ trailing zero slot)."""
-        return extend_zero(jax.lax.all_gather(x_loc, axis, axis=0, tiled=True))
+    def gather_stack(vecs):
+        """Local slot blocks -> stacked global slot table (+ zero row)."""
+        return extend_zero(jax.lax.all_gather(
+            jnp.stack(list(vecs), axis=-1), axis, axis=0, tiled=True))
 
     def step_local(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c,
                    u_pend, v_pend):
+        def new_from(g, h, nnz):
+            out = jnp.where(nnz > 0, g / (lam_ * nnz + h), 0.0)
+            return jnp.maximum(out, 0.0) if nmf else out
+
         def rank_body(t, carry):
             vals_r, vals_c, W, H, u_pend, v_pend = carry
             u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]   # local slots
@@ -58,38 +63,30 @@ def make_sharded_ell_step(ell: EllPair, mesh: Mesh, lam: float,
             for i in range(maxinneriter):
                 if i == 0:
                     # deferred cols-side subtract of the previous rank +
-                    # unconditional add-back + sweep, off ONE stacked
-                    # all_gather of [u_pend, u_old] (solvers/ccd_ell.py)
-                    stacked_c = extend_zero(jax.lax.all_gather(
-                        jnp.stack([u_pend, u_old], axis=-1), axis, axis=0,
-                        tiled=True))
-                    Gc = [stacked_c[ix] for ix in idx_c]
-                    vals_c = residual_update(idx_c, vals_c, cols, None, v_pend,
-                                             -1.0, gathered=[g[..., 0] for g in Gc])
-                    vals_c = residual_update(idx_c, vals_c, cols, None, v_old,
-                                             +1.0, gathered=[g[..., 1] for g in Gc])
-                    v, _ = sweep_new_values(idx_c, vals_c, cols, None, lam_,
-                                            nnz_c, gathered=[g[..., 1] for g in Gc], nmf=nmf)
+                    # add-back + sweep, ALL inside one fused pass off a
+                    # stacked all_gather of [u_pend, u_old]
+                    # (solvers/ccd_ell.py; a gathered tile fed to >1
+                    # consumer re-runs the gather per consumer —
+                    # results/residual_update_micro_r3.json)
+                    vals_c, g, h = fused_update_sweep(
+                        idx_c, vals_c, cols, gather_stack((u_pend, u_old)),
+                        owns=(v_pend, v_old), signs=(-1.0, 1.0), sweep_col=1)
                 else:
-                    v, _ = sweep_new_values(idx_c, vals_c, cols,
-                                            gather_full(u), lam_, nnz_c,
-                                            nmf=nmf)
+                    g, h = fused_sweep(idx_c, vals_c, cols,
+                                       gather_stack((u, u)))
+                v = new_from(g, h, nnz_c)
                 if i == 0:
-                    stacked = extend_zero(jax.lax.all_gather(
-                        jnp.stack([v_old, v], axis=-1), axis, axis=0, tiled=True))
-                    G = [stacked[ix] for ix in idx_r]
-                    vals_r = residual_update(idx_r, vals_r, rows, None, u_old,
-                                             +1.0, gathered=[g[..., 0] for g in G])
-                    u, vg = sweep_new_values(idx_r, vals_r, rows, None, lam_,
-                                             nnz_r, gathered=[g[..., 1] for g in G], nmf=nmf)
+                    # 3-wide [v_pend, v_old, v_new] table: the rows-side
+                    # subtract is deferred via (u_pend, v_pend) too
+                    vals_r, gu, hu = fused_update_sweep(
+                        idx_r, vals_r, rows, gather_stack((v_pend, v_old, v)),
+                        owns=(u_pend, u_old), signs=(-1.0, 1.0), sweep_col=2)
                 else:
-                    u, vg = sweep_new_values(idx_r, vals_r, rows,
-                                             gather_full(v), lam_, nnz_r,
-                                             nmf=nmf)
+                    gu, hu = fused_sweep(idx_r, vals_r, rows,
+                                         gather_stack((v, v)))
+                u = new_from(gu, hu, nnz_r)
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
-            vals_r = residual_update(idx_r, vals_r, rows, None, u, -1.0,
-                                     gathered=vg)
             return (vals_r, vals_c, W, H, u, v)
 
         k = W.shape[0]

@@ -14,8 +14,9 @@ is the communication-minimal layout for a doubly-sharded residual: ratings
 never move, only (m,)/(n,)-sized partial vectors do.
 
 The per-device math is byte-identical to solvers/ccd_hybrid.py (same panel
-matvec schedule, same paired-gather ELL tail, same deferred pends), so
-sharded == single-device numerically (tests/test_hybrid_sharded.py).
+matvec schedule, same fused single-pass ELL tail, same fully deferred
+pends), so sharded == single-device numerically
+(tests/test_hybrid_sharded.py).
 
 Multi-host note: this train wrapper device_puts GLOBAL host arrays, which is
 a single-process (1-host, N-chip) pattern. Under real multi-process
@@ -39,8 +40,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import Config
 from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
-from ..ops.ell_ops import (extend_zero, paired_gather, residual_update,
-                           sweep_partials)
+from ..ops.ell_ops import (extend_zero, fused_sweep, fused_update_sweep,
+                           stacked_remap)
 from ..solvers.ccd_hybrid import HybridPlan, densify_panels, plan_hybrid
 from ..solvers.pipeline import pipelined_loop
 from ..solvers.reference import IterStats
@@ -87,18 +88,6 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                         (~isn).astype(f32))
             return Rd.astype(f32), mask.astype(f32)
 
-        def uslots(x):         # (m,) replicated -> LOCAL rows-side slot vals
-            return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[eosr]
-
-        def islots(x):
-            return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[eosi]
-
-        def to_users(g_local):  # local slot partials -> (m,) partial
-            return jnp.concatenate([g_local, jnp.zeros(1, g_local.dtype)])[lsu_]
-
-        def to_items(g_local):
-            return jnp.concatenate([g_local, jnp.zeros(1, g_local.dtype)])[lsi_]
-
         def panel_rows(x, r0, lr):
             return jax.lax.dynamic_slice(x, (r0 + d * lr,), (lr,))
 
@@ -126,7 +115,6 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                 Rds = tuple(new_Rds)
 
             u, v = u_old, v_old
-            Gr_new = None
             for i in range(maxinneriter):
                 # ---- v-sweep: local panel matvec + local ELL partials,
                 # ONE psum makes (g, h) global ----
@@ -164,26 +152,21 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                         h = h.at[:w].add(hp)
                 if have_light:
                     if i == 0:
-                        pc = paired_gather(
+                        # fused single-consumer pass (see ccd_hybrid.py /
+                        # results/residual_update_micro_r3.json); entity
+                        # vectors remapped to LOCAL slots via eosi
+                        ovp, ovo = stacked_remap((v_pend, v_old), eosi)
+                        vals_c, g_l, h_l = fused_update_sweep(
+                            idx_c, vals_c, cols,
                             extend_zero(jnp.stack([u_pend, u_old], -1)),
-                            idx_c)
-                        vals_c = residual_update(
-                            idx_c, vals_c, cols, None, islots(v_pend), -1.0,
-                            gathered=[p[0] for p in pc])
-                        vals_c = residual_update(
-                            idx_c, vals_c, cols, None, islots(v_old), +1.0,
-                            gathered=[p[1] for p in pc])
-                        g_l, h_l, _ = sweep_partials(
-                            idx_c, vals_c, cols, None,
-                            gathered=[p[1] for p in pc])
+                            owns=(ovp, ovo), signs=(-1.0, 1.0), sweep_col=1)
                     else:
-                        pc = paired_gather(
-                            extend_zero(jnp.stack([u, u], -1)), idx_c)
-                        g_l, h_l, _ = sweep_partials(
-                            idx_c, vals_c, cols, None,
-                            gathered=[p[0] for p in pc])
-                    g = g + to_items(g_l)
-                    h = h + to_items(h_l)
+                        g_l, h_l = fused_sweep(
+                            idx_c, vals_c, cols,
+                            extend_zero(jnp.stack([u, u], -1)), sweep_col=0)
+                    g_e, h_e = stacked_remap((g_l, h_l), lsi_)
+                    g = g + g_e
+                    h = h + h_e
                 g, h = jax.lax.psum((g, h), axis)
                 den = lam_ * col_nnz + h
                 v = jnp.where(den > 0, g / den, 0.0)
@@ -214,19 +197,18 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
                         hu = jax.lax.dynamic_update_slice(hu, hp, (off,))
                 if have_light:
                     if i == 0:
-                        pr = paired_gather(
-                            extend_zero(jnp.stack([v_old, v], -1)), idx_r)
-                        vals_r = residual_update(
-                            idx_r, vals_r, rows, None, uslots(u_old), +1.0,
-                            gathered=[p[0] for p in pr])
+                        oup, ouo = stacked_remap((u_pend, u_old), eosr)
+                        vals_r, g_lr, h_lr = fused_update_sweep(
+                            idx_r, vals_r, rows,
+                            extend_zero(jnp.stack([v_pend, v_old, v], -1)),
+                            owns=(oup, ouo), signs=(-1.0, 1.0), sweep_col=2)
                     else:
-                        pr = paired_gather(
-                            extend_zero(jnp.stack([v, v], -1)), idx_r)
-                    Gr_new = [p[1] if i == 0 else p[0] for p in pr]
-                    g_lr, h_lr, _ = sweep_partials(idx_r, vals_r, rows,
-                                                   None, gathered=Gr_new)
-                    gu = gu + to_users(g_lr)
-                    hu = hu + to_users(h_lr)
+                        g_lr, h_lr = fused_sweep(
+                            idx_r, vals_r, rows,
+                            extend_zero(jnp.stack([v, v], -1)), sweep_col=0)
+                    gu_e, hu_e = stacked_remap((g_lr, h_lr), lsu_)
+                    gu = gu + gu_e
+                    hu = hu + hu_e
                 gu, hu = jax.lax.psum((gu, hu), axis)
                 den_u = lam_ * row_nnz + hu
                 u = jnp.where(den_u > 0, gu / den_u, 0.0)
@@ -235,9 +217,6 @@ def make_sharded_hybrid_step(plan: HybridPlan, mesh: Mesh, lam: float,
 
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
-            if have_light:
-                vals_r = residual_update(idx_r, vals_r, rows, None,
-                                         uslots(u), -1.0, gathered=Gr_new)
             return (Rds, vals_r, vals_c, W, H, u, v)
 
         k = W.shape[0]

@@ -45,7 +45,8 @@ from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
 from ..data.sparse import RatingMatrix, TestCOO
 from ..eval.metrics import calrmse_device, default_eval_chunk
-from ..ops.ell_ops import extend_zero, residual_update, sweep_new_values
+from ..ops.ell_ops import (extend_zero, fused_sweep, fused_update_sweep,
+                           residual_update, sweep_new_values)
 from .pipeline import pipelined_loop
 from .reference import IterStats
 
@@ -58,6 +59,10 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
 
     def step(idx_r, idx_c, vals_r, vals_c, W, H, rnnz_r, rnnz_c,
              u_pend, v_pend):
+        def new_from(g, h, rnnz):
+            out = jnp.where(rnnz > 0, g / (lam_ * rnnz + h), 0.0)
+            return jnp.maximum(out, 0.0) if nmf else out
+
         def rank_body(t, carry):
             vals_r, vals_c, W, H, u_pend, v_pend = carry
             u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
@@ -65,37 +70,36 @@ def make_ell_outer_step(ell: EllPair, lam: float, maxinneriter: int,
             u, v = u_old, v_old
             for i in range(maxinneriter):
                 # ---- v-sweep (cols side): deferred subtract + add-back +
-                # sweep, all off ONE stacked [u_pend, u_old] row-gather ----
+                # sweep, all inside ONE fused pass off a stacked
+                # [u_pend, u_old] row-gather (a gathered tile fed to >1
+                # consumer re-runs the gather per consumer — measured,
+                # results/residual_update_micro_r3.json) ----
                 if i == 0:
-                    stacked_c = extend_zero(jnp.stack([u_pend, u_old], axis=-1))
-                    Gc = [stacked_c[ix] for ix in idx_c]
-                    vals_c = residual_update(idx_c, vals_c, cols, None, v_pend,
-                                             -1.0, gathered=[g[..., 0] for g in Gc])
-                    vals_c = residual_update(idx_c, vals_c, cols, None, v_old,
-                                             +1.0, gathered=[g[..., 1] for g in Gc])
-                    v, _ = sweep_new_values(idx_c, vals_c, cols, None, lam_,
-                                            rnnz_c, gathered=[g[..., 1] for g in Gc], nmf=nmf)
+                    vals_c, g, h = fused_update_sweep(
+                        idx_c, vals_c, cols,
+                        extend_zero(jnp.stack([u_pend, u_old], axis=-1)),
+                        owns=(v_pend, v_old), signs=(-1.0, 1.0), sweep_col=1)
                 else:
-                    v, _ = sweep_new_values(idx_c, vals_c, cols,
-                                            extend_zero(u), lam_, rnnz_c, nmf=nmf)
-                # ---- u-sweep (rows side) ----
+                    g, h = fused_sweep(idx_c, vals_c, cols,
+                                       extend_zero(jnp.stack([u, u], -1)))
+                v = new_from(g, h, rnnz_c)
+                # ---- u-sweep (rows side): 3-wide [v_pend, v_old, v_new]
+                # table (same row-mode price as a pair) — deferred subtract,
+                # add-back, and sweep with the NEW v in one pass; the rank-t
+                # subtract is itself deferred via (u_pend, v_pend) ----
                 if i == 0:
-                    # one stacked row-gather serves add-back (v_old) and sweep
-                    stacked = extend_zero(jnp.stack([v_old, v], axis=-1))
-                    G = [stacked[ix] for ix in idx_r]
-                    vals_r = residual_update(idx_r, vals_r, rows, None, u_old,
-                                             +1.0, gathered=[g[..., 0] for g in G])
-                    u, vg = sweep_new_values(idx_r, vals_r, rows, None, lam_,
-                                             rnnz_r, gathered=[g[..., 1] for g in G], nmf=nmf)
+                    vals_r, gu, hu = fused_update_sweep(
+                        idx_r, vals_r, rows,
+                        extend_zero(jnp.stack([v_pend, v_old, v], axis=-1)),
+                        owns=(u_pend, u_old), signs=(-1.0, 1.0), sweep_col=2)
                 else:
-                    u, vg = sweep_new_values(idx_r, vals_r, rows,
-                                             extend_zero(v), lam_, rnnz_r, nmf=nmf)
-            # ---- write back (src/CCD.cpp:128-134); rows-side subtract
-            # immediately (reuses the sweep's gather), cols-side deferred ----
+                    gu, hu = fused_sweep(idx_r, vals_r, rows,
+                                         extend_zero(jnp.stack([v, v], -1)))
+                u = new_from(gu, hu, rnnz_r)
+            # ---- write back (src/CCD.cpp:128-134); EVERY side's subtract
+            # of rank t's new outer product deferred to rank t+1 ----
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
-            vals_r = residual_update(idx_r, vals_r, rows, None, u, -1.0,
-                                     gathered=vg)          # reuse gather(v)
             return (vals_r, vals_c, W, H, u, v)
 
         k = W.shape[0]

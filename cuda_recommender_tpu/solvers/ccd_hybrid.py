@@ -46,9 +46,12 @@ Semantics preserved (SURVEY.md §7): H zeroed at entry (src/CCD.cpp:56-60);
 lambda*nnz regularization with total degrees; v-sweep before u-sweep per
 inner iteration (src/CCD.cpp:110-121); empty entity -> 0 factor
 (src/CCD.cpp:8, via the full-denominator guard); rank-major factor layout.
-Schedules: dense panels use the deferred-subtract trick (u_pend/v_pend
-carried across ranks); the ELL tail uses the plain add-back/subtract order
-with its sweep gathers reused by the adjacent residual passes.
+Schedules: EVERY part — dense panels, cols-ELL and rows-ELL — defers the
+subtract of a rank's new outer product to the next rank via the shared
+(u_pend, v_pend) state, so each ELL side needs exactly ONE fused
+gather+update+sweep pass per rank (ops/ell_ops.fused_update_sweep; feeding
+a chunked gather tile to >1 consumer op re-runs the gather per consumer,
+measured ~28 ms/rank — results/residual_update_micro_r3.json).
 """
 
 from __future__ import annotations
@@ -67,7 +70,8 @@ from ..data.sparse import RatingMatrix, TestCOO, from_coo
 from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..native.groupsort import key_count, perm_gather, stable_perm
 from ..ops.densify import densify_coo
-from ..ops.ell_ops import (extend_zero, paired_gather, residual_update,
+from ..ops.ell_ops import (extend_zero, fused_sweep, fused_update_sweep,
+                           paired_gather, residual_update, stacked_remap,
                            sweep_partials)
 from .pipeline import pipelined_loop
 from .reference import IterStats
@@ -543,12 +547,6 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                         (~isn).astype(cdt))
             return Rd.astype(cdt), mask.astype(cdt)
 
-        def uslots(x):         # (m,) entity vec -> rows-side slot space
-            return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[upos_safe]
-
-        def islots(x):         # (n,) entity vec -> cols-side slot space
-            return jnp.concatenate([x, jnp.zeros(1, x.dtype)])[ipos_safe]
-
         def rank_body(t, carry):
             Rds, vals_r, vals_c, W, H, u_pend, v_pend = carry
             u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
@@ -574,7 +572,6 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                 Rds = tuple(new_Rds)
 
             u, v = u_old, v_old
-            Gr_new = None
             for i in range(maxinneriter):
                 # ---- v-sweep (items): panel matvecs + ELL partials ----
                 g = jnp.zeros(n, f32)
@@ -611,31 +608,24 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                         h = h.at[:w].add(hp)
                 if have_light:
                     if i == 0:
-                        # ONE paired row-gather [u_pend, u_old] serves the
-                        # deferred subtract of rank t-1, the add-back AND
-                        # the sweep (ccd_ell.py schedule; 1-wide gathers
-                        # measured SCALAR-mode at ~7.7 ns/elem — pairs ride
-                        # the ~3.3 ns/ROW mode, temp bounded by lax.map)
-                        pc = paired_gather(
+                        # ONE fused pass: the [u_pend, u_old] row-gather,
+                        # the deferred subtract of rank t-1, the add-back
+                        # AND the sweep partials all live in one lax.map
+                        # chunk body — a tile fed to >1 consumer op re-runs
+                        # the whole chunked gather per consumer (measured
+                        # ~28 ms/rank, results/residual_update_micro_r3.json)
+                        ovp, ovo = stacked_remap((v_pend, v_old), ipos_safe)
+                        vals_c, g_l, h_l = fused_update_sweep(
+                            idx_c, vals_c, cols,
                             extend_zero(jnp.stack([u_pend, u_old], -1)),
-                            idx_c)
-                        vals_c = residual_update(
-                            idx_c, vals_c, cols, None, islots(v_pend), -1.0,
-                            gathered=[p[0] for p in pc])
-                        vals_c = residual_update(
-                            idx_c, vals_c, cols, None, islots(v_old), +1.0,
-                            gathered=[p[1] for p in pc])
-                        g_l, h_l, _ = sweep_partials(
-                            idx_c, vals_c, cols, None,
-                            gathered=[p[1] for p in pc])
+                            owns=(ovp, ovo), signs=(-1.0, 1.0), sweep_col=1)
                     else:
-                        pc = paired_gather(
-                            extend_zero(jnp.stack([u, u], -1)), idx_c)
-                        g_l, h_l, _ = sweep_partials(
-                            idx_c, vals_c, cols, None,
-                            gathered=[p[0] for p in pc])
-                    g = g + g_l[slot_of_ipos]
-                    h = h + h_l[slot_of_ipos]
+                        g_l, h_l = fused_sweep(
+                            idx_c, vals_c, cols,
+                            extend_zero(jnp.stack([u, u], -1)), sweep_col=0)
+                    g_e, h_e = stacked_remap((g_l, h_l), slot_of_ipos)
+                    g = g + g_e
+                    h = h + h_e
                 # full-denominator guard (like ccd_dense._half_sweep):
                 # covers empty entities (src/CCD.cpp:8) AND the degenerate
                 # lambda=0 fully-explained-residual case
@@ -666,35 +656,35 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                         hu = hu.at[r0:r1].add(hp)
                 if have_light:
                     if i == 0:
-                        # ONE paired row-gather [v_old, v_new] serves the
-                        # add-back, the sweep, and (via reuse below) the
-                        # immediate rows-side subtract
-                        pr = paired_gather(
-                            extend_zero(jnp.stack([v_old, v], -1)), idx_r)
-                        vals_r = residual_update(
-                            idx_r, vals_r, rows, None, uslots(u_old), +1.0,
-                            gathered=[p[0] for p in pr])
+                        # ONE fused pass with a 3-wide [v_pend, v_old, v]
+                        # row-gather (same row-mode price as a pair): the
+                        # deferred subtract of rank t-1, the add-back, and
+                        # the sweep with the NEW v. The rank-t subtract is
+                        # itself deferred through (u_pend, v_pend) — no
+                        # second rows-side pass exists at all.
+                        oup, ouo = stacked_remap((u_pend, u_old), upos_safe)
+                        vals_r, g_lr, h_lr = fused_update_sweep(
+                            idx_r, vals_r, rows,
+                            extend_zero(jnp.stack([v_pend, v_old, v], -1)),
+                            owns=(oup, ouo), signs=(-1.0, 1.0), sweep_col=2)
                     else:
-                        pr = paired_gather(
-                            extend_zero(jnp.stack([v, v], -1)), idx_r)
-                    Gr_new = [p[1] if i == 0 else p[0] for p in pr]
-                    g_lr, h_lr, _ = sweep_partials(idx_r, vals_r, rows,
-                                                   None, gathered=Gr_new)
-                    gu = gu + g_lr[slot_of_upos]
-                    hu = hu + h_lr[slot_of_upos]
+                        g_lr, h_lr = fused_sweep(
+                            idx_r, vals_r, rows,
+                            extend_zero(jnp.stack([v, v], -1)), sweep_col=0)
+                    gu_e, hu_e = stacked_remap((g_lr, h_lr), slot_of_upos)
+                    gu = gu + gu_e
+                    hu = hu + hu_e
                 den_u = lam_ * row_nnz + hu
                 u = jnp.where(den_u > 0, gu / den_u, 0.0)
                 if nmf:
                     u = jnp.maximum(u, 0.0)
 
-            # ---- write back (src/CCD.cpp:128-134); rows-side subtract
-            # immediately (reuses the sweep's v gather); cols-side AND dense
-            # subtracts deferred via the SHARED (u_pend, v_pend) state ----
+            # ---- write back (src/CCD.cpp:128-134); EVERY part's subtract
+            # of rank t's new outer product is deferred to rank t+1 via the
+            # SHARED (u_pend, v_pend) state — panels, cols-ELL and rows-ELL
+            # uniformly (one fused pass per side per rank) ----
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
-            if have_light:
-                vals_r = residual_update(idx_r, vals_r, rows, None,
-                                         uslots(u), -1.0, gathered=Gr_new)
             return (Rds, vals_r, vals_c, W, H, u, v)
 
         k = W.shape[0]
