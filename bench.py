@@ -12,11 +12,14 @@ GOLDEN-GRADE config (bf16 residual is measured RMSE-identical through
 full convergence; the NaN encoding is bit-identical to an explicit
 mask). With the fused Pallas panel kernels (ops/panel_pallas.py — the
 update+vsweep RMW pass and the usweep read pass each touch the residual
-once instead of the XLA schedule's six reads): measured 916-924 M
-rating-updates/s at 4.37 s/iter under round-3 group-difference timing
-(11.5x round-1; round-2 pooled timing read the same config at 691.8 M —
-the difference is an unsubtractable fence share,
-results/headline_variance_r3.json). fp8 residual stalls at a
+once instead of the XLA schedule's six reads) and the fused
+single-consumer ELL tail (ops/ell_ops.fused_update_sweep — the round-2
+schedule re-ran the chunked tail gather once PER CONSUMER op,
+results/residual_update_micro_r3.json): measured 1006.8 M
+rating-updates/s at 3.97 s/iter under round-3 group-difference timing
+(12.6x round-1; 916 M before the tail fusion; round-2 pooled timing read
+the same config at 691.8 M — the difference is an unsubtractable fence
+share, results/headline_variance_r3.json). fp8 residual stalls at a
 worse RMSE plateau at convergence
 (results/rmse_trajectory_ml1m_hybrid_fp8.jsonl), so it is an opt-in
 screening mode, not the headline.
@@ -55,9 +58,10 @@ GATHER_S_PER_ROW = 3.3e-9          # measured paired row-gather issue rate
 # pass + usweep as one read pass = 6 B/cell/rank at bf16 vs the XLA
 # NaN-sentinel path's ~12. Convergence-grade
 # (results/rmse_trajectory_ml1m_hybrid_bf16_nan_kernel.jsonl). Measured on
-# the headline config: 4.37 s/iter = 916 M updates/s (group-difference
-# timing; the XLA path measured 6.36 s under round-2 pooled timing,
-# results/hybrid_netflix_100m_r2b.jsonl) — default ON.
+# the headline config: 3.97 s/iter = 1006.8 M updates/s with the fused ELL
+# tail (group-difference timing; the XLA path measured 6.36 s under
+# round-2 pooled timing, results/hybrid_netflix_100m_r2b.jsonl) —
+# default ON.
 PANEL_KERNEL = bool(int(os.environ.get("CRTPU_PANEL_KERNEL", "1")))
 
 

@@ -1,0 +1,209 @@
+"""Yahoo-shaped robustness runs (VERDICT r2 missing #2): the reference sweep
+grid covers yahoor1 (~1.9M x 98k) and yahooc15 (~1M x 625k)
+(/root/reference/scripts/times.sh:29-38) — aspect ratios qualitatively
+unlike MovieLens/Netflix. Every round-2 artifact was ml/netflix-shaped, so
+the hybrid planner's corner-cover assumption and the auto stair had never
+seen a huge item axis (c15: the full-width panel can afford only ~10k user
+rows at the Netflix budget) or a 1.9M-user axis (r1: slot tables and remap
+gathers 4x the Netflix ones).
+
+Per dataset: plan (auto stair) -> train 1+GROUP iterations of the hybrid
+backend on TPU with group-difference timing -> RMSE after the timed iters.
+ALS additionally at yahoor1 dims (k=40). Emits one JSON line per run;
+redirect to results/yahoo_robustness_r3.json.
+
+Usage: python scripts/yahoo_robustness.py [r1|c15|als_r1|all]
+CRTPU_BENCH_CPU=1 shrinks dims ~1000x for a CPU flow check.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+if os.environ.get("CRTPU_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_crtpu_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from cuda_recommender_tpu.core.config import Config            # noqa: E402
+from cuda_recommender_tpu.core.init import init_factors_np     # noqa: E402
+from cuda_recommender_tpu.data.datasets import synthetic_cached  # noqa: E402
+from cuda_recommender_tpu.eval.metrics import calrmse_np        # noqa: E402
+
+CPU = bool(os.environ.get("CRTPU_BENCH_CPU"))
+
+#                 m        n       nnz    budget_cells
+SPECS = {
+    "r1": (1_948_883, 98_211, 115_000_000, 6_000_000_000),
+    "c15": (1_000_990, 624_961, 100_000_000, 6_000_000_000),
+}
+if CPU:
+    SPECS = {"r1": (1_900, 98, 115_000, 60_000),
+             "c15": (1_000, 625, 100_000, 60_000)}
+
+
+def run_hybrid(tag: str) -> dict:
+    m, n, nnz, budget = SPECS[tag]
+    k, lam = 40 if not CPU else 8, 0.05
+    R, T = synthetic_cached(m, n, nnz, seed=11, test_fraction=0.02)
+
+    from cuda_recommender_tpu.solvers.ccd_hybrid import (
+        densify_panels, make_hybrid_outer_step, plan_hybrid)
+    cfg = Config(k=k, lambda_=lam, backend="hybrid",
+                 residual_dtype="bfloat16", mask_dtype="nan",
+                 hybrid_dense_cells=budget, hybrid_panel_widths="auto")
+    t0 = time.perf_counter()
+    plan = plan_hybrid(R, cfg, materialize_dense=False)
+    plan_s = time.perf_counter() - t0
+    rows, cols = plan.ell.rows_side, plan.ell.cols_side
+    kernel = not CPU
+    Rds, masks = densify_panels(plan, jnp.bfloat16, mask_dtype="nan",
+                                block_pad=kernel)
+
+    idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
+    idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
+    vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
+    vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
+    W0, _ = init_factors_np(k, m, n, seed=0)
+    s = (Rds, vals_r, vals_c, jnp.asarray(W0[:, plan.user_order]),
+         jnp.zeros((k, n), jnp.float32),
+         jnp.zeros(m, jnp.float32), jnp.zeros(n, jnp.float32))
+    consts = (jnp.asarray(plan.row_nnz), jnp.asarray(plan.col_nnz),
+              jnp.asarray(plan.upos_of_slot_safe),
+              jnp.asarray(plan.ipos_of_slot_safe),
+              jnp.asarray(plan.slot_of_upos), jnp.asarray(plan.slot_of_ipos))
+    step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=jnp.bfloat16,
+                                  nan_mask=True, panel_kernel=kernel)
+
+    def run(s):
+        return step(idx_r, idx_c, s[0], masks, s[1], s[2], s[3], s[4],
+                    s[5], s[6], *consts)
+
+    t0 = time.perf_counter()
+    s = run(s)
+    _ = np.asarray(s[3]).sum()
+    compile_s = time.perf_counter() - t0
+
+    def grp(g, s):
+        t0 = time.perf_counter()
+        for _ in range(g):
+            s = run(s)
+        _ = np.asarray(s[3]).sum()
+        return time.perf_counter() - t0, s
+
+    G = 4 if not CPU else 2
+    t1s, tgs = [], []
+    for _ in range(2):
+        d1, s = grp(1, s)
+        dg, s = grp(G, s)
+        t1s.append(d1)
+        tgs.append(dg)
+    dt = (float(np.median(tgs)) - float(np.median(t1s))) / (G - 1)
+
+    W_ent = np.asarray(s[3])[:, plan.user_pos]
+    H_ent = np.asarray(s[4])[:, plan.item_pos]
+    rmse = calrmse_np(T, W_ent, H_ent, entity_major=False)
+    panel_cells = sum((r1_ - r0) * w for r0, r1_, w in plan.panels)
+    return {
+        "workload": f"hybrid CCD++ yahoo{tag}-dims synthetic zipf "
+                    f"({m}x{n}, nnz={R.nnz}), k={k}, bf16+nan"
+                    + (", panel kernels" if kernel else ""),
+        "panels": [list(p) for p in plan.panels],
+        "n_panels": len(plan.panels),
+        "panel_cells": int(panel_cells),
+        "nnz_light_frac": round(plan.nnz_light / R.nnz, 4),
+        "plan_s": round(plan_s, 1),
+        "compile_s": round(compile_s, 1),
+        "iter_s": round(dt, 3),
+        "updates_per_s_M": round(R.nnz * k / dt / 1e6, 1),
+        "rmse_after_iters": round(rmse, 4),
+        "iters_run": 2 * (1 + G) + 1,
+        "device": jax.default_backend(),
+    }
+
+
+def run_als_r1() -> dict:
+    m, n, nnz, _ = SPECS["r1"]
+    k, lam = 40 if not CPU else 8, 0.05
+    R, T = synthetic_cached(m, n, nnz, seed=11, test_fraction=0.02)
+    from cuda_recommender_tpu.data.ell import build_ell_pair
+    from cuda_recommender_tpu.solvers.als_ell import make_als_outer_step
+    cfg = Config(solver="als", k=k, lambda_=lam)
+    ell = build_ell_pair(R, min_width=cfg.als_min_width, num_shards=1)
+    rows, cols = ell.rows_side, ell.cols_side
+    idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
+    idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
+    vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
+    vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
+    W0, H0 = init_factors_np(k, m, n, seed=0, entity_major=True)
+    W_s = np.zeros((rows.n_slots, k), np.float32)
+    W_s[rows.slot_of_entity] = W0
+    H_s = np.zeros((cols.n_slots, k), np.float32)
+    H_s[cols.slot_of_entity] = H0
+    W, H = jnp.asarray(W_s), jnp.asarray(H_s)
+    nnz_r = jnp.asarray(rows.slot_nnz)
+    nnz_c = jnp.asarray(cols.slot_nnz)
+    step = make_als_outer_step(ell, lam, cfg.ell_chunk,
+                               precision_name="highest", solver="gj")
+    t0 = time.perf_counter()
+    W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
+    _ = np.asarray(W).sum()
+    compile_s = time.perf_counter() - t0
+
+    def grp(g, W, H):
+        t0 = time.perf_counter()
+        for _ in range(g):
+            W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
+        _ = np.asarray(W).sum()
+        return time.perf_counter() - t0, W, H
+
+    G = 4 if not CPU else 2
+    t1s, tgs = [], []
+    for _ in range(2):
+        d1, W, H = grp(1, W, H)
+        dg, W, H = grp(G, W, H)
+        t1s.append(d1)
+        tgs.append(dg)
+    dt = (float(np.median(tgs)) - float(np.median(t1s))) / (G - 1)
+    rmse = calrmse_np(T, np.asarray(W)[rows.slot_of_entity],
+                      np.asarray(H)[cols.slot_of_entity], entity_major=True)
+    lanes = (sum(b.idx.size for b in rows.buckets)
+             + sum(b.idx.size for b in cols.buckets))
+    return {
+        "workload": f"ALS yahoor1-dims synthetic zipf ({m}x{n}, "
+                    f"nnz={R.nnz}), k={k}, GJ solve, precision HIGHEST",
+        "lanes_padded": int(lanes),
+        "compile_s": round(compile_s, 1),
+        "iter_s": round(dt, 3),
+        "ratings_per_s_M": round(R.nnz / dt / 1e6, 1),
+        "rmse_after_iters": round(rmse, 4),
+        "device": jax.default_backend(),
+    }
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    jobs = {"r1": lambda: run_hybrid("r1"),
+            "c15": lambda: run_hybrid("c15"),
+            "als_r1": run_als_r1}
+    names = list(jobs) if which == "all" else [which]
+    for name in names:
+        rec = jobs[name]()
+        rec["name"] = name
+        rec["date"] = "2026-08"
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
