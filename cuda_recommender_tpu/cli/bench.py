@@ -17,11 +17,12 @@ from ..data import datasets
 
 
 def run_once(R, T, solver: Solver, backend: Backend, k: int, inner: int,
-             lam: float, iters: int, seed: int):
+             lam: float, iters: int, seed: int, cfg_extra: dict = None):
     from ..solvers.reference import als_reference, ccd_reference
 
     cfg = Config(solver=solver, k=k, maxiter=iters, maxinneriter=inner,
-                 lambda_=lam, backend=backend, seed=seed)
+                 lambda_=lam, backend=backend, seed=seed,
+                 **(cfg_extra or {}))
     backend = cfg.resolve_backend(R.rows, R.cols)   # normalizes ALS → ELL
     entity_major = solver == Solver.ALS
     W0, H0 = init_factors_np(k, R.rows, R.cols, seed=seed,
@@ -90,8 +91,33 @@ def main(argv=None) -> int:
     p.add_argument("--lambda", dest="lam", type=float, default=0.1)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--repeats", type=int, default=1)
+    # hybrid-backend knobs, so the grid can exercise the flagship config
+    # (defaults mirror core.config.Config; bench.py's headline flavor is
+    # --residual-dtype bfloat16 --mask-dtype nan --budget 6500000000
+    # --panel-widths auto --panel-kernel)
+    p.add_argument("--budget", type=int, default=None,
+                   help="hybrid_dense_cells")
+    p.add_argument("--panel-widths", default=None,
+                   help="'auto' or comma list, e.g. 4096,2048")
+    p.add_argument("--residual-dtype", default=None)
+    p.add_argument("--mask-dtype", default=None)
+    p.add_argument("--panel-kernel", action="store_true")
     p.add_argument("-o", "--output", default=None, help="JSONL output path")
     args = p.parse_args(argv)
+
+    cfg_extra = {}
+    if args.budget is not None:
+        cfg_extra["hybrid_dense_cells"] = args.budget
+    if args.panel_widths is not None:
+        cfg_extra["hybrid_panel_widths"] = (
+            "auto" if args.panel_widths == "auto"
+            else tuple(int(w) for w in args.panel_widths.split(",")))
+    if args.residual_dtype is not None:
+        cfg_extra["residual_dtype"] = args.residual_dtype
+    if args.mask_dtype is not None:
+        cfg_extra["mask_dtype"] = args.mask_dtype
+    if args.panel_kernel:
+        cfg_extra["hybrid_panel_kernel"] = True
 
     if args.dataset.startswith("synthetic:"):
         R, T = datasets.synthetic_from_spec(args.dataset)
@@ -107,8 +133,13 @@ def main(argv=None) -> int:
                     continue        # inner iters are CCD-only, like times.sh
                 for rep in range(args.repeats):
                     rec = run_once(R, T, Solver(solver), Backend(args.backend),
-                                   k, inner, args.lam, args.iters, seed=rep)
+                                   k, inner, args.lam, args.iters, seed=rep,
+                                   cfg_extra=cfg_extra)
                     rec["repeat"] = rep
+                    if cfg_extra:
+                        rec["cfg"] = {k_: (list(v) if isinstance(v, tuple)
+                                           else v)
+                                      for k_, v in cfg_extra.items()}
                     line = json.dumps(rec)
                     print(line, flush=True)
                     if sink:
