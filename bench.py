@@ -163,7 +163,13 @@ def main() -> None:
         m, n, nnz, k, iters = 480_189, 17_770, 100_000_000, 40, 7
         budget = 6_500_000_000
         rdt_name, mdt_name = "bfloat16", "nan"
-        widths = (4096, 2048)
+        # default stair: measured headline. CRTPU_PANEL_WIDTHS=auto runs
+        # the data-driven Lagrangian stair (8 panels, tail 2.27% vs 2.76%
+        # at equal budget) for A/B runs.
+        wenv = os.environ.get("CRTPU_PANEL_WIDTHS")
+        widths = ("auto" if wenv == "auto" else
+                  tuple(int(w) for w in wenv.split(",")) if wenv else
+                  (4096, 2048))
     else:                               # CPU smoke fallback (tiny)
         m, n, nnz, k, iters = 6_040, 3_706, 900_000, 10, 2
         budget = 2_000 * 3_706

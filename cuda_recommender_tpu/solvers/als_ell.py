@@ -38,7 +38,7 @@ from .reference import IterStats
 
 def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
                   precision=jax.lax.Precision.HIGHEST,
-                  batch_last: bool = False):
+                  batch_last: bool = False, augmented: bool = False):
     """Per-slot gram and rhs for one bucket.
 
     ``batch_last=False``: G (S, k, k), r (S, k). ``batch_last=True``: the
@@ -46,6 +46,20 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
     DIRECTLY by the assembly einsums so no (S, k, k) -> (k, k, S) relayout
     pass runs between assembly and solve (measured ~1 GB/side of pure
     transpose traffic at ml20M k=40).
+
+    ``augmented`` (requires batch_last): emit gram AND rhs from ONE
+    self-contraction of Faug = [F | val] — Gaug[a,b,s] = Σ_e
+    Faug[s,e,a]·Faug[s,e,b] holds the gram in [:k,:k] and the rhs in
+    [:k,k]. The two-einsum form makes XLA re-run the row gather once per
+    einsum consumer (the lax.map remat finding generalizes:
+    results/residual_update_micro_r3.json); measured 684 -> 507 ms/iter
+    at ml20M k=40 (scripts/als_assembly_micro.py). Same sums, (k+1)²/k²
+    ≈ 5% extra MXU work; the reduction tiling differs at ULP level, which
+    on sub-1e-3 weakly-determined factor entries can flip 1-2 entries per
+    5000 across the 10% golden bar — measured equally often (6/8 seeds)
+    with the two-einsum form, i.e. inherent to f32-solver-vs-f64-golden
+    comparison (the reference prints the same error percentage in that
+    case, src/extras.cpp:232-236), not a property of the augmentation.
 
     Padded lanes gather the zero row, contributing exactly 0 to both. Buckets
     with p == 1 (width E > 128) stream the lane axis in ``chunk``-wide slabs
@@ -56,6 +70,8 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
     S = rows * b.p
     g_spec = "sek,sel->kls" if batch_last else "sek,sel->skl"
     r_spec = "sek,se->ks" if batch_last else "sek,se->sk"
+    if augmented and not batch_last:
+        raise ValueError("augmented assembly emits batch-last only")
 
     def accumulate(idx2, val2):
         F = other_ext[idx2]                       # (S, E', k) row gather
@@ -63,14 +79,24 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
         # bf16 inputs, which drifts ~0.4% per solve — enough to fail the
         # reference's 10% golden bar after a few Gauss-Seidel iterations on
         # near-zero factor entries. Gram assembly must be true f32.
+        if augmented:
+            Faug = jnp.concatenate([F, val2[..., None]], axis=-1)
+            return jnp.einsum("sea,seb->abs", Faug, Faug,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
         G = jnp.einsum(g_spec, F, F, preferred_element_type=jnp.float32,
                        precision=precision)
         r = jnp.einsum(r_spec, F, val2, preferred_element_type=jnp.float32,
                        precision=precision)
         return G, r
 
+    def split(acc):
+        if augmented:
+            return acc[:k, :k], acc[:k, k]
+        return acc
+
     if L <= chunk or b.p > 1:
-        return accumulate(idx.reshape(S, b.E), val.reshape(S, b.E))
+        return split(accumulate(idx.reshape(S, b.E), val.reshape(S, b.E)))
 
     # data-driven ladder widths (data/ell.py) need not divide the chunk:
     # scan the full slabs, accumulate the remainder columns directly (they
@@ -79,6 +105,17 @@ def _gram_and_rhs(idx, val, other_ext, b, chunk: int,
     nC, rem = divmod(L, chunk)
     idx_s = idx[:, :nC * chunk].reshape(rows, nC, chunk).transpose(1, 0, 2)
     val_s = val[:, :nC * chunk].reshape(rows, nC, chunk).transpose(1, 0, 2)
+
+    if augmented:
+        def body_a(carry, sl):
+            return carry + accumulate(sl[0], sl[1]), None
+
+        acc, _ = jax.lax.scan(
+            body_a, jnp.zeros((k + 1, k + 1, S), jnp.float32),
+            (idx_s, val_s))
+        if rem:
+            acc = acc + accumulate(idx[:, nC * chunk:], val[:, nC * chunk:])
+        return split(acc)
 
     def body(carry, sl):
         G, r = carry
@@ -150,10 +187,12 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
     outs = []
     for i, b in enumerate(side.buckets):
         if solver == "gj":
-            # assembly emits the kernel's batch-last layout directly
+            # assembly emits the kernel's batch-last layout directly, gram
+            # and rhs from ONE augmented self-contraction (see _gram_and_rhs)
             from ..ops.gj_pallas import gj_solve_pallas_bl
             G_t, r_t = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext,
-                                     b, chunk, precision, batch_last=True)
+                                     b, chunk, precision, batch_last=True,
+                                     augmented=True)
             A_t = G_t + lam * eye[:, :, None]      # λ unscaled, src/ALS.cpp:121
             x = gj_solve_pallas_bl(
                 A_t, r_t, interpret=jax.default_backend() == "cpu").T

@@ -44,8 +44,12 @@ from cuda_recommender_tpu.solvers.ccd_hybrid import (          # noqa: E402
     densify_panels, make_hybrid_outer_step, plan_hybrid)
 
 
-def time_step(step, idx_r, idx_c, masks, s, consts, iters=3):
-    """s = (Rds, vals_r, vals_c, W, H, u_pend, v_pend) — the step's carry."""
+def time_step(step, idx_r, idx_c, masks, s, consts, group=4):
+    """s = (Rds, vals_r, vals_c, W, H, u_pend, v_pend) — the step's carry.
+    Group-difference timing (bench.py / results/headline_variance_r3.json):
+    per-iter = (median T_Ggrp - median T_1grp)/(G-1), the fresh-fence
+    readback term cancels (the old subtract-t_xfer approach re-read a
+    cached jax.Array and under-measured the fence by ~2-8 s)."""
     def run(s):
         return step(idx_r, idx_c, s[0], masks, s[1], s[2], s[3], s[4],
                     s[5], s[6], *consts)
@@ -56,14 +60,21 @@ def time_step(step, idx_r, idx_c, masks, s, consts, iters=3):
     compile_s = time.perf_counter() - t0
     s = run(s)
     _ = np.asarray(s[3]).sum()
-    t0 = time.perf_counter()
-    _ = np.asarray(s[3]).sum()
-    t_xfer = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s = run(s)
-    _ = np.asarray(s[3]).sum()
-    dt = (time.perf_counter() - t0 - t_xfer) / iters
+
+    def grp(g, s):
+        t0 = time.perf_counter()
+        for _ in range(g):
+            s = run(s)
+        _ = np.asarray(s[3]).sum()
+        return time.perf_counter() - t0, s
+
+    t1s, tgs = [], []
+    for _ in range(2):
+        d1, s = grp(1, s)
+        dg, s = grp(group, s)
+        t1s.append(d1)
+        tgs.append(dg)
+    dt = (float(np.median(tgs)) - float(np.median(t1s))) / (group - 1)
     return dt, compile_s
 
 

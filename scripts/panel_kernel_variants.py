@@ -141,18 +141,19 @@ def main():
     vo = jnp.asarray(rng.normal(size=W).astype(np.float32))
     vp = jnp.asarray(rng.normal(size=W).astype(np.float32))
 
-    def timed(tag, fn, *args, fence=None, passes=3.0):
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[-1] if fence is None else fence(out))
+    def timed_chain(tag, fn, Rd, *rest, passes=3.0, chains=True):
+        """Chain the (donated) residual through n dispatches, one fence."""
+        out = fn(Rd, *rest)
+        Rd = out[0] if chains else Rd
+        np.asarray(jax.tree.leaves(out)[-1])
         t0 = time.perf_counter()
-        o = args
         for _ in range(n):
-            out = fn(*args)
+            out = fn(Rd, *rest)
+            Rd = out[0] if chains else Rd
         np.asarray(jax.tree.leaves(out)[-1])
         dt = (time.perf_counter() - t0) / n
         print(f"{tag}: {dt*1e3:.1f} ms ({passes * gb / dt:.0f} GB/s eff)",
               flush=True)
-        del o
         return out, dt
 
     # floors
@@ -161,9 +162,12 @@ def main():
         in_specs=[pl.BlockSpec((bm_, bw_), lambda jw, im: (im, jw))],
         out_specs=pl.BlockSpec((bm_, bw_), lambda jw, im: (im, jw)),
         out_shape=jax.ShapeDtypeStruct((M, W), jnp.bfloat16),
-        input_output_aliases={0: 0}, interpret=interp)(Rd))
+        input_output_aliases={0: 0}, interpret=interp)(Rd),
+        donate_argnums=0)
     Rd = init()
-    (Rd), _ = timed("rmw_floor   ", rmw, Rd, passes=2.0)
+    (Rd,), _ = timed_chain("rmw_floor   ", lambda r: (rmw(r),), Rd,
+                           passes=2.0)
+    del Rd
 
     read = jax.jit(lambda Rd: pl.pallas_call(
         _read_kernel, grid=(W // bw_, M // bm_),
@@ -172,31 +176,36 @@ def main():
         out_shape=jax.ShapeDtypeStruct((1, W), jnp.float32),
         interpret=interp)(Rd))
     Rd = init()
-    timed("read_floor  ", read, Rd, passes=1.0)
+    timed_chain("read_floor  ", lambda r: (r, read(r)), Rd, passes=1.0,
+                chains=False)
+    del Rd
 
     # A0: production
     kA0 = jax.jit(functools.partial(pp.panel_update_vsweep, bm=bm_, bw=bw_,
                                     interpret=interp), donate_argnums=0)
     Rd = init()
-    (Rd0, g0, h0), _ = timed("A0_prod     ", kA0, Rd, uo, up, vo, vp)
+    (Rd0, g0, h0), _ = timed_chain("A0_prod     ", kA0, Rd, uo, up, vo, vp)
 
-    # A1: astype rounding — and verify bit-exactness vs A0
+    # A1: astype rounding — and verify bit-exactness vs A0 over the SAME
+    # number of chained applications from the same init
     kA1 = jax.jit(functools.partial(run_uv_variant, _uv_kernel_astype,
                                     bm=bm_, bw=bw_, interp=interp),
-                  donate_argnums=1)
+                  donate_argnums=0)
     Rd = init()
-    (Rd1, g1, h1), _ = timed("A1_astype   ", kA1, Rd, uo, up, vo, vp)
+    (Rd1, g1, h1), _ = timed_chain("A1_astype   ", kA1, Rd, uo, up, vo, vp)
     b0 = np.asarray(jax.device_get(Rd0)).view(np.uint16)
     b1 = np.asarray(jax.device_get(Rd1)).view(np.uint16)
     mism = int((b0 != b1).sum())
     g_mism = float(np.abs(np.asarray(g0) - np.asarray(g1)).max())
     print(f"A1 vs A0: residual bit-mismatches {mism}/{b0.size}, "
           f"max|g diff| {g_mism:.3e}", flush=True)
+    del Rd1, b0, b1
 
     # B0: production usweep
     kB = jax.jit(functools.partial(pp.panel_usweep, bm=bm_, bw=bw_,
                                    interpret=interp))
-    timed("B0_usweep   ", kB, Rd0, vo, passes=1.0)
+    timed_chain("B0_usweep   ", lambda r, v: (r, kB(r, v)), Rd0, vo,
+                passes=1.0, chains=False)
 
 
 if __name__ == "__main__":
