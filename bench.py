@@ -320,8 +320,16 @@ def _aux_metrics() -> dict:
             return []
 
     out = {}
-    for key, path in (("als_ml20m_k40", "results/als_ml20m_r2.json"),
-                      ("als_ml20m_k128", "results/als_ml20m_k128_r2.json")):
+    try:
+        with open(os.path.join(here, "results/als_roofline_r3.json")) as f:
+            r = json.load(f)
+        out["als_ml20m_k40"] = {
+            "iter_s": r.get("measured_iter_s"),
+            "vs_baseline": r.get("vs_baseline"),
+            "floor_iter_s": r.get("floor_iter_s")}
+    except (OSError, json.JSONDecodeError):
+        pass
+    for key, path in (("als_ml20m_k128", "results/als_ml20m_k128_r2.json"),):
         rows = read_lines(path)
         if rows:
             out[key] = {f: rows[0][f] for f in
