@@ -20,6 +20,7 @@ the XLA loop; this layout is ~an order of magnitude leaner per step.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_S = 128
+
+#: static-unroll the elimination loop (default on; see _eliminate).
+UNROLL = bool(int(os.environ.get("CRTPU_GJ_UNROLL", "1")))
 
 # Scoped VMEM is 16 MB. In the pipelined kernel the A block is
 # double-buffered and the augmented scratch is single — at k=128 with
@@ -41,12 +45,27 @@ def _pipelined_fits(k: int, bs: int) -> bool:
     return (2 * k * k + k * (k + 1)) * bs * 4 <= _VMEM_BUDGET
 
 
-def _eliminate(M_ref):
+def _eliminate(M_ref, unroll: bool = True):
     """Run all k Gauss-Jordan elimination steps on the augmented VMEM
-    scratch M_ref (k, k+1, B), leaving the solution in column k. Dynamic
-    row/column selection happens on the REF (pl.ds on non-lane axes —
-    value-level dynamic_slice is not lowerable on TPU Pallas)."""
+    scratch M_ref (k, k+1, B), leaving the solution in column k.
+
+    ``unroll=True`` (default): a static Python loop — every row/column
+    selection is a STATIC slice, which Mosaic lowers to plain vector loads;
+    the fori_loop form's pl.ds dynamic sublane selections re-index the
+    scratch every step and measured ~13x the elimination's traffic/FLOP
+    model (results/gj_block_sweep_r3.json). Compile time grows with k
+    (k straight-line steps) but is cached."""
     k = M_ref.shape[0]
+
+    if unroll:
+        for i in range(k):
+            row = M_ref[i:i + 1]                     # (1, k+1, B) static
+            d = M_ref[i:i + 1, i:i + 1, :]           # (1, 1, B) pivot
+            prow = row / d
+            col = M_ref[:, i:i + 1, :]               # (k, 1, B)
+            M_ref[:, :, :] = M_ref[:, :, :] - col * prow
+            M_ref[i:i + 1] = prow
+        return
 
     def body(i, _):
         row = M_ref[pl.ds(i, 1)]                     # (1, k+1, B)
@@ -60,35 +79,41 @@ def _eliminate(M_ref):
     jax.lax.fori_loop(0, k, body, 0)
 
 
-def _gj_kernel(A_ref, b_ref, x_ref, M_ref):
-    # A_ref (k, k, B): A[r, c, s] — batch s on lanes; b_ref (k, B);
-    # M_ref VMEM scratch (k, k+1, B) holds the augmented systems.
-    k = A_ref.shape[0]
-    M_ref[:, :k, :] = A_ref[:]
-    M_ref[:, k:k + 1, :] = b_ref[:][:, None, :]
-    _eliminate(M_ref)
-    x_ref[:] = M_ref[:, k, :]                        # (k, B)
+def _make_gj_kernel(unroll: bool):
+    def _gj_kernel(A_ref, b_ref, x_ref, M_ref):
+        # A_ref (k, k, B): A[r, c, s] — batch s on lanes; b_ref (k, B);
+        # M_ref VMEM scratch (k, k+1, B) holds the augmented systems.
+        k = A_ref.shape[0]
+        M_ref[:, :k, :] = A_ref[:]
+        M_ref[:, k:k + 1, :] = b_ref[:][:, None, :]
+        _eliminate(M_ref, unroll)
+        x_ref[:] = M_ref[:, k, :]                    # (k, B)
+    return _gj_kernel
 
 
-def _gj_kernel_dma(A_hbm, b_ref, x_ref, M_ref, sem):
-    # Large-k variant: A stays in HBM (memory_space=ANY); each grid step
-    # DMAs its own batch block into the single augmented scratch, so the
-    # only VMEM-resident copy of the (k, k, B) block is M_ref itself.
-    k = M_ref.shape[0]
-    bs = M_ref.shape[2]
-    i = pl.program_id(0)
-    cp = pltpu.make_async_copy(A_hbm.at[:, :, pl.ds(i * bs, bs)],
-                               M_ref.at[:, :k, :], sem)
-    cp.start()
-    cp.wait()
-    M_ref[:, k:k + 1, :] = b_ref[:][:, None, :]
-    _eliminate(M_ref)
-    x_ref[:] = M_ref[:, k, :]
+def _make_gj_kernel_dma(unroll: bool):
+    def _gj_kernel_dma(A_hbm, b_ref, x_ref, M_ref, sem):
+        # Large-k variant: A stays in HBM (memory_space=ANY); each grid step
+        # DMAs its own batch block into the single augmented scratch, so the
+        # only VMEM-resident copy of the (k, k, B) block is M_ref itself.
+        k = M_ref.shape[0]
+        bs = M_ref.shape[2]
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(A_hbm.at[:, :, pl.ds(i * bs, bs)],
+                                   M_ref.at[:, :k, :], sem)
+        cp.start()
+        cp.wait()
+        M_ref[:, k:k + 1, :] = b_ref[:][:, None, :]
+        _eliminate(M_ref, unroll)
+        x_ref[:] = M_ref[:, k, :]
+    return _gj_kernel_dma
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_s"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_s", "unroll"))
 def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
-                       block_s: int | None = None):
+                       block_s: int | None = None,
+                       unroll: bool | None = None):
     """Batch-LAST batched SPD solve: A_t (k, k, S), b_t (k, S) -> x_t (k, S).
 
     This is the native kernel layout (batch on lanes). Producing the gram in
@@ -99,6 +124,8 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
     k, _, S = A_t.shape
     if block_s is None:
         block_s = BLOCK_S
+    if unroll is None:
+        unroll = UNROLL
     pad = (-S) % block_s
     if pad:
         eye_t = jnp.broadcast_to(jnp.eye(k, dtype=A_t.dtype)[:, :, None],
@@ -111,7 +138,7 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
                            transcendentals=0)
     if _pipelined_fits(k, block_s):
         x_t = pl.pallas_call(
-            _gj_kernel,
+            _make_gj_kernel(unroll),
             grid=(Sp // block_s,),
             in_specs=[
                 pl.BlockSpec((k, k, block_s), lambda i: (0, 0, i),
@@ -128,7 +155,7 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
         )(A_t.astype(jnp.float32), b_t.astype(jnp.float32))
     else:
         x_t = pl.pallas_call(
-            _gj_kernel_dma,
+            _make_gj_kernel_dma(unroll),
             grid=(Sp // block_s,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),

@@ -48,10 +48,10 @@ def main():
 
     out = {"k": k, "S": S}
     x_ref = None
-    for bs in (128, 256, 512, 1024):
+    for bs, unroll in ((128, False), (128, True), (256, True), (512, True)):
         fits = _pipelined_fits(k, bs)
-        fn = jax.jit(lambda A, b, bs=bs: gj_solve_pallas_bl(
-            A, b, interpret=interp, block_s=bs))
+        fn = jax.jit(lambda A, b, bs=bs, u=unroll: gj_solve_pallas_bl(
+            A, b, interpret=interp, block_s=bs, unroll=u))
         t0 = time.perf_counter()
         x = fn(A, b)
         _ = np.asarray(x).sum()
@@ -64,11 +64,12 @@ def main():
         err = (float(jnp.max(jnp.abs(x - x_ref))) if x_ref is not None
                else 0.0)
         x_ref = x if x_ref is None else x_ref
-        out[f"bs{bs}"] = {"ms": round(dt * 1e3, 2),
-                          "pipelined": bool(fits),
-                          "compile_s": round(compile_s, 1),
-                          "max_diff_vs_bs128": round(err, 8)}
-        print(f"bs={bs} ({'pipelined' if fits else 'manual-DMA'}): "
+        tag = f"bs{bs}_{'unroll' if unroll else 'fori'}"
+        out[tag] = {"ms": round(dt * 1e3, 2),
+                    "pipelined": bool(fits),
+                    "compile_s": round(compile_s, 1),
+                    "max_diff_vs_first": round(err, 8)}
+        print(f"{tag} ({'pipelined' if fits else 'manual-DMA'}): "
               f"{dt*1e3:.2f} ms (compile {compile_s:.1f}s, "
               f"maxdiff {err:.2e})", flush=True)
     print("RESULT " + json.dumps(out), flush=True)
