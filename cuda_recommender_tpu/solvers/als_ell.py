@@ -177,6 +177,21 @@ def _solve_kxk(A, r, solver: str):
         jnp.swapaxes(C, -1, -2), y, lower=False)[..., 0]
 
 
+#: per-group temp budget for the gj assembly+solve: bounds BOTH the
+#: materialized augmented gather ``Faug`` (rows·L·(k+1)·4 B) and the
+#: batch-last gram ((k+1)²·slots·4 B). One group at ml20M dims (unchanged
+#: behavior); yahoo-r1-scale sides (1.9M slots, 250M padded lanes — Faug
+#: alone would be 119 GB) split into row-contiguous groups, each assembled
+#: and solved independently (slots are row-major, so outputs concat).
+GROUP_TEMP_BYTES = 2 << 30
+
+
+def _row_groups(rows: int, L: int, p: int, k: int) -> list[tuple[int, int]]:
+    per_row = max(L * (k + 1) * 4, p * (k + 1) * (k + 1) * 4)
+    g = max(1, min(rows, GROUP_TEMP_BYTES // max(1, per_row)))
+    return [(r0, min(rows, r0 + g)) for r0 in range(0, rows, g)]
+
+
 def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
                 slot_nnz, chunk: int,
                 precision=jax.lax.Precision.HIGHEST, solver: str = "gj"):
@@ -188,15 +203,19 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
     for i, b in enumerate(side.buckets):
         if solver == "gj":
             # assembly emits the kernel's batch-last layout directly, gram
-            # and rhs from ONE augmented self-contraction (see _gram_and_rhs)
+            # and rhs from ONE augmented self-contraction (see _gram_and_rhs),
+            # in memory-bounded row groups
             from ..ops.gj_pallas import gj_solve_pallas_bl
-            G_t, r_t = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext,
-                                     b, chunk, precision, batch_last=True,
-                                     augmented=True)
-            A_t = G_t + lam * eye[:, :, None]      # λ unscaled, src/ALS.cpp:121
-            x = gj_solve_pallas_bl(
-                A_t, r_t, interpret=jax.default_backend() == "cpu").T
-            outs.append(x)
+            rows = idx_tiles[i].shape[0]
+            for r0, r1 in _row_groups(rows, b.L, b.p, k):
+                G_t, r_t = _gram_and_rhs(idx_tiles[i][r0:r1],
+                                         val_tiles[i][r0:r1], other_ext,
+                                         b, chunk, precision,
+                                         batch_last=True, augmented=True)
+                A_t = G_t + lam * eye[:, :, None]  # λ unscaled, ALS.cpp:121
+                x = gj_solve_pallas_bl(
+                    A_t, r_t, interpret=jax.default_backend() == "cpu").T
+                outs.append(x)
             continue
         G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk,
                              precision)

@@ -102,9 +102,12 @@ def run_hybrid(tag: str) -> dict:
         _ = np.asarray(s[3]).sum()
         return time.perf_counter() - t0, s
 
-    G = 4 if not CPU else 2
+    # G=6 x 3 rounds: at these scales an iteration is 5-20 s while the
+    # fence readback varies by multiple seconds — the first cut (G=4 x 2)
+    # measured a NEGATIVE c15 difference when one 1-group fence spiked
+    G = 6 if not CPU else 2
     t1s, tgs = [], []
-    for _ in range(2):
+    for _ in range(3 if not CPU else 2):
         d1, s = grp(1, s)
         dg, s = grp(G, s)
         t1s.append(d1)
@@ -126,9 +129,10 @@ def run_hybrid(tag: str) -> dict:
         "plan_s": round(plan_s, 1),
         "compile_s": round(compile_s, 1),
         "iter_s": round(dt, 3),
+        "t1_group_samples_s": [round(x, 2) for x in t1s],
+        "tG_group_samples_s": [round(x, 2) for x in tgs],
         "updates_per_s_M": round(R.nnz * k / dt / 1e6, 1),
         "rmse_after_iters": round(rmse, 4),
-        "iters_run": 2 * (1 + G) + 1,
         "device": jax.default_backend(),
     }
 
@@ -168,9 +172,9 @@ def run_als_r1() -> dict:
         _ = np.asarray(W).sum()
         return time.perf_counter() - t0, W, H
 
-    G = 4 if not CPU else 2
+    G = 6 if not CPU else 2
     t1s, tgs = [], []
-    for _ in range(2):
+    for _ in range(3 if not CPU else 2):
         d1, W, H = grp(1, W, H)
         dg, W, H = grp(G, W, H)
         t1s.append(d1)
