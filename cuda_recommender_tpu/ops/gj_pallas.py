@@ -50,10 +50,11 @@ def _eliminate(M_ref, unroll: bool = True):
     scratch M_ref (k, k+1, B), leaving the solution in column k.
 
     ``unroll=True`` (default): a static Python loop — every row/column
-    selection is a STATIC slice, which Mosaic lowers to plain vector loads;
-    the fori_loop form's pl.ds dynamic sublane selections re-index the
-    scratch every step and measured ~13x the elimination's traffic/FLOP
-    model (results/gj_block_sweep_r3.json). Compile time grows with k
+    selection is a STATIC slice. Measured on TPU it buys only ~3% over the
+    fori_loop form (results/gj_block_sweep_r3.json): the elimination is
+    bound by re-streaming the full scratch through VMEM load/store on
+    every one of the k steps, not by the dynamic slicing. Kept (small win,
+    bit-identical); CRTPU_GJ_UNROLL=0 reverts. Compile time grows with k
     (k straight-line steps) but is cached."""
     k = M_ref.shape[0]
 

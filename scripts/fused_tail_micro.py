@@ -14,6 +14,12 @@ Modes, each ONE jitted program, k ranks in a fori_loop with value deps:
   F2   F with the rows side gathering 2-wide [v_old, v] instead of 3-wide
        (numerically wrong; times the 3rd table column's marginal cost)
   FS   fused_sweep only, both sides (the i>0 shape; no update, no owns)
+  M    materialized 3-wide gather tiles (paired_gather) + ONE combined
+       elementwise+reduce expression per bucket (update + g/h partials) —
+       XLA multi-output fusion consumes each tile once; the sweep column
+       is shared by the g-product and h-square
+  M4   like M with a 4-wide table duplicating the sweep column, so every
+       gathered column has EXACTLY one consumer op
 
 Usage: python scripts/fused_tail_micro.py [k=40]
 """
@@ -41,7 +47,8 @@ import jax.numpy as jnp                                          # noqa: E402
 from cuda_recommender_tpu.core.config import Config              # noqa: E402
 from cuda_recommender_tpu.data.datasets import synthetic_cached  # noqa: E402
 from cuda_recommender_tpu.ops.ell_ops import (                   # noqa: E402
-    extend_zero, fused_sweep, fused_update_sweep, stacked_remap)
+    _bslice, _row_gather_tiles, extend_zero, fused_sweep, fused_update_sweep,
+    lanes_to_slots, slots_to_lanes, stacked_remap)
 from cuda_recommender_tpu.solvers.ccd_hybrid import plan_hybrid  # noqa: E402
 
 
@@ -75,6 +82,32 @@ def main():
     own_i_const = jnp.asarray(rng.standard_normal(cols.n_slots) * 1e-3,
                               jnp.float32)
 
+    def mat_update_sweep(idx, vals, side, table_ext, owns, signs, sweep_dup):
+        """Materialized T-wide gather + one combined expression per bucket:
+        each gathered column feeds the single multi-output fusion (update +
+        g/h reduces)."""
+        pcs = [_row_gather_tiles(table_ext, ix) for ix in idx]
+        new_vals, gs, hs = [], [], []
+        nu = len(signs)
+        for i, b in enumerate(side.buckets):
+            g = pcs[i]
+            nv = vals[i]
+            for j, (s, o) in enumerate(zip(signs, owns)):
+                nv = nv + s * g[j] * slots_to_lanes(_bslice(o, side, i), b)
+            new_vals.append(nv)
+            if sweep_dup:      # columns nu, nu+1, nu+2 are sweep copies —
+                #                each gathered column has EXACTLY 1 consumer
+                gs.append(lanes_to_slots(g[nu] * nv, b))
+                hs.append(lanes_to_slots(g[nu + 1] * g[nu + 2], b))
+            else:              # one sweep column, 2 consumers (g and h)
+                gs.append(lanes_to_slots(g[nu] * nv, b))
+                hs.append(lanes_to_slots(g[nu] * g[nu], b))
+        tail = side.n_slots - (side.bucket_offsets[-1]
+                               + side.buckets[-1].slots_per_shard)
+        zt = [jnp.zeros(tail, jnp.float32)] if tail else []
+        return (tuple(new_vals), jnp.concatenate(gs + zt),
+                jnp.concatenate(hs + zt))
+
     def make(mode):
         @jax.jit
         def prog(u, v, vals_r, vals_c):
@@ -82,6 +115,26 @@ def main():
                 u, v, vals_r, vals_c = carry
                 s = 1e-9 * (t + 1).astype(jnp.float32)
                 up, vo = u * s, v * s
+                if mode in ("M", "M4"):
+                    dup = mode == "M4"
+                    ovp, ovo = stacked_remap((vo, v), ipos_safe)
+                    oup, ouo = stacked_remap((up, u), upos_safe)
+                    ctab = [up, u] + [u] * (3 if dup else 1)
+                    vals_c, g, h = mat_update_sweep(
+                        idx_c, vals_c, cols,
+                        extend_zero(jnp.stack(ctab, -1)),
+                        owns=(ovp, ovo), signs=(-1e-6, 1e-6), sweep_dup=dup)
+                    vs = v * 0.5
+                    rtab = [vo, v] + [vs] * (3 if dup else 1)
+                    vals_r, gr, hr = mat_update_sweep(
+                        idx_r, vals_r, rows,
+                        extend_zero(jnp.stack(rtab, -1)),
+                        owns=(oup, ouo), signs=(-1e-6, 1e-6), sweep_dup=dup)
+                    ge, he = stacked_remap((g, h), slot_of_ipos)
+                    gre, hre = stacked_remap((gr, hr), slot_of_upos)
+                    u = u + 1e-12 * gre[:8].sum()
+                    v = v + 1e-12 * ge[:8].sum()
+                    return u, v, vals_r, vals_c
                 if mode == "FS":
                     g, h = fused_sweep(idx_c, vals_c, cols,
                                        extend_zero(jnp.stack([u, u], -1)))
@@ -119,7 +172,7 @@ def main():
         return prog
 
     out = {"k": k}
-    for mode in ["F", "FN", "F2", "FS"]:
+    for mode in ["M", "M4", "F", "FN", "F2", "FS"]:
         prog = make(mode)
         t0 = time.perf_counter()
         r = prog(u0, v0, vals_r0, vals_c0)
