@@ -301,8 +301,10 @@ def main() -> None:
         },
     }
     print(json.dumps(rec))
-    if on_tpu:
-        # record for the wedged-tunnel fallback path (_emit_fallback)
+    if on_tpu and not os.environ.get("CRTPU_NO_RECORD"):
+        # record for the wedged-tunnel fallback path (_emit_fallback);
+        # CRTPU_NO_RECORD=1 for A/B runs (e.g. CRTPU_PANEL_WIDTHS sweeps)
+        # so an exploratory config never becomes the fallback headline
         with open(LAST_LIVE, "w") as f:
             json.dump(rec, f, indent=1)
 
