@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hybrid-cells", type=int, default=None, metavar="N",
                    help="hybrid panel-stair cell budget "
                         "(default Config.hybrid_dense_cells)")
+    p.add_argument("--panel-widths", default=None, metavar="W1,W2|auto",
+                   help="hybrid panel-stair widths: comma list (e.g. "
+                        "'4096,2048') or 'auto' for the data-driven "
+                        "Lagrangian stair chosen from the degree "
+                        "distribution under --hybrid-cells")
     p.add_argument("--panel-kernel", action="store_true", dest="panel_kernel",
                    help="run the hybrid backend's dense panels through the "
                         "fused Pallas kernels (requires --mask-dtype nan; "
@@ -153,6 +158,10 @@ def main(argv=None) -> int:
     )
     if args.hybrid_cells is not None:
         cfg.hybrid_dense_cells = int(args.hybrid_cells)
+    if args.panel_widths is not None:
+        cfg.hybrid_panel_widths = (
+            "auto" if args.panel_widths == "auto" else
+            tuple(int(w) for w in args.panel_widths.split(",") if w))
     R, T = load_data(args)
     print(f"[info] loaded {R.rows} x {R.cols}, nnz={R.nnz}, "
           f"test nnz={T.nnz}", flush=True)

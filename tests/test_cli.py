@@ -16,6 +16,22 @@ def test_train_cli_synthetic_golden(capsys):
     assert "Check... PASS!" in out
 
 
+def test_train_cli_hybrid_panel_widths_auto(capsys):
+    """--panel-widths exposes the data-driven auto stair (and explicit width
+    lists) on the hybrid backend through the user-facing CLI."""
+    rc = cli_train.main(["--dataset", "synthetic:m=300,n=120,nnz=6000",
+                         "--backend", "hybrid", "--hybrid-cells", "9000",
+                         "--panel-widths", "auto",
+                         "-k", "4", "-t", "2", "-l", "0.1"])
+    assert rc == 0
+    assert "RMSE" in capsys.readouterr().out
+    rc = cli_train.main(["--dataset", "synthetic:m=300,n=120,nnz=6000",
+                         "--backend", "hybrid", "--hybrid-cells", "9000",
+                         "--panel-widths", "64,16",
+                         "-k", "4", "-t", "2", "-l", "0.1"])
+    assert rc == 0
+
+
 def test_train_cli_als_save_model(tmp_path, capsys, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rc = cli_train.main(["--dataset", "synthetic:m=150,n=60,nnz=3000",
