@@ -203,9 +203,13 @@ def main() -> None:
               jnp.asarray(plan.ipos_of_slot_safe),
               jnp.asarray(plan.slot_of_upos), jnp.asarray(plan.slot_of_ipos))
 
+    # rank-deferred ELL tail (round 4): frozen lanes + wide gather-reduce
+    # corrections, group flush — CRTPU_DEFER_GROUP=0 reverts for A/B
+    defer_g = int(os.environ.get("CRTPU_DEFER_GROUP", "8"))
     step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt,
                                   nan_mask=mdt_name == "nan",
-                                  panel_kernel=kernel)
+                                  panel_kernel=kernel,
+                                  defer_group=defer_g)
 
     def run(s):
         return step(idx_r, idx_c, s[0], masks, s[1], s[2], s[3], s[4],

@@ -143,6 +143,13 @@ class Config:
     #: kernels derive the mask from the NaN sentinel in-register) and the
     #: single-device hybrid path. Panels are allocated block-padded.
     hybrid_panel_kernel: bool = False
+    #: Rank-deferral group G for the hybrid ELL tail (0 = off): residual
+    #: lanes stay frozen for G ranks, sweeps run as (2G+1)-wide single-
+    #: fusion gather-reduces with algebraic corrections, and the lanes are
+    #: flushed once per group (ops/ell_ops.deferred_sweep/deferred_flush).
+    #: Same math, different FMA order; measured ~2.3x on the tail at
+    #: Netflix-100M (results/hybrid_decomposition_r4.json).
+    hybrid_defer_group: int = 8
 
     # --- io ---
     data_dir: Optional[str] = None         # positional data_dir (reference CLI)
@@ -194,6 +201,8 @@ class Config:
                 int(w) for w in self.hybrid_panel_widths)
             if any(w <= 0 for w in self.hybrid_panel_widths):
                 raise ValueError("hybrid_panel_widths must be positive")
+        if self.hybrid_defer_group < 0:
+            raise ValueError("hybrid_defer_group must be >= 0")
         if self.hybrid_max_panels <= 0:
             raise ValueError("hybrid_max_panels must be positive")
 

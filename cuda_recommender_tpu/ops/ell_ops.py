@@ -254,6 +254,75 @@ def fused_sweep(idx_tiles, val_tiles, side: EllSide, table_ext: jnp.ndarray,
     return jnp.concatenate(gs + ztail), jnp.concatenate(hs + ztail)
 
 
+def deferred_sweep(idx_tiles, val_tiles, side: EllSide,
+                   table_ext: jnp.ndarray):
+    """Wide gather-reduce sweep against a FROZEN residual plus deferred
+    rank-1 corrections — the round-4 single-fast-shape design.
+
+    Measured facts driving it (results/tail_hlo_r4 + wide_sweep_micro_r4):
+    a (S, T) row-gather is only fast when its tile is consumed by ONE
+    sibling-reduction fusion (~0.4 ns/lane-row, flat in T up to ~33); any
+    tile feeding an elementwise-output fusion makes XLA materialize the
+    full (rows, L, T) gather with its minor dim padded T -> 128 lanes (64x
+    write+read amplification at T=2 — the round-3 tail's real cost, which
+    the lax.map chunking did not bound because every tail bucket fits one
+    chunk and 1-trip loops flatten).
+
+    So the residual update is DEFERRED: ``table_ext`` carries the sweep
+    vector in column 0 and the group's deferred rank-1 update vectors in
+    columns 1..T-1, and everything the sweep needs reduces in one fusion:
+
+        S_0[slot] = sum_lanes col0 * val        (sweep vs frozen residual)
+        S_c[slot] = sum_lanes col0 * col_c      (correction cross-terms)
+        h[slot]   = sum_lanes col0^2
+
+    The caller reconstitutes the true partials as
+    g = S_0 + sum_c sign_c * own_c * S_c (RankOneUpdate numerator against
+    the CURRENT residual, src/CCD.cpp:6-16, with UpdateRating's rank-1
+    deltas, src/CCD.cpp:18-43, applied algebraically instead of in
+    memory). Returns (S0, [S_1..S_{T-1}], h) as full slot vectors with
+    zero tails."""
+    T = int(table_ext.shape[1])
+    if not side.buckets:
+        z = jnp.zeros(side.n_slots, jnp.float32)
+        return z, [z] * (T - 1), z
+    s0s, scs, hs = [], [[] for _ in range(T - 1)], []
+    for i, b in enumerate(side.buckets):
+        g = table_ext[idx_tiles[i]]              # (rows, L, T) — consumed
+        sw = g[..., 0]                           # by sibling reductions only
+        s0s.append(lanes_to_slots(sw * val_tiles[i], b))
+        for c in range(1, T):
+            scs[c - 1].append(lanes_to_slots(sw * g[..., c], b))
+        hs.append(lanes_to_slots(sw * sw, b))
+    tail = side.n_slots - (side.bucket_offsets[-1]
+                           + side.buckets[-1].slots_per_shard)
+    zt = [jnp.zeros(tail, jnp.float32)] if tail else []
+    return (jnp.concatenate(s0s + zt),
+            [jnp.concatenate(sc + zt) for sc in scs],
+            jnp.concatenate(hs + zt))
+
+
+def deferred_flush(idx_tiles, val_tiles, side: EllSide,
+                   table_ext: jnp.ndarray, owns: jnp.ndarray, signs):
+    """Apply a group of deferred rank-1 residual updates in ONE pass:
+    val += sum_c signs[c] * table[idx][..., c] * owns[c][slot] per lane
+    (UpdateRating, src/CCD.cpp:18-43, batched over the group). The (S, 2G)
+    gather here DOES materialize padded (2G -> 128 lanes) — that is the
+    point: amortized over G ranks its amplification is 128/2G instead of
+    the per-rank update's 64x. ``owns``: (2G, n_slots) slot-space own
+    vectors; ``signs``: length-2G floats."""
+    out = []
+    sgn = [jnp.float32(s) for s in signs]
+    for i, b in enumerate(side.buckets):
+        g = table_ext[idx_tiles[i]]              # (rows, L, 2G) padded
+        nv = val_tiles[i]
+        for c, s in enumerate(sgn):
+            nv = nv + s * g[..., c] * slots_to_lanes(
+                _bslice(owns[c], side, i), b)
+        out.append(nv)
+    return tuple(out)
+
+
 def sweep_partials(idx_tiles, val_tiles, side: EllSide, other_ext,
                    gathered=None) -> tuple[jnp.ndarray, jnp.ndarray, list]:
     """Per-slot sweep partial sums WITHOUT the division: g = Σ other[idx]*val,

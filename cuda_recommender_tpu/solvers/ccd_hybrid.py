@@ -70,9 +70,9 @@ from ..data.sparse import RatingMatrix, TestCOO, from_coo
 from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..native.groupsort import key_count, perm_gather, stable_perm
 from ..ops.densify import densify_coo
-from ..ops.ell_ops import (extend_zero, fused_sweep, fused_update_sweep,
-                           paired_gather, residual_update, stacked_remap,
-                           sweep_partials)
+from ..ops.ell_ops import (deferred_flush, deferred_sweep, extend_zero,
+                           fused_sweep, fused_update_sweep, paired_gather,
+                           residual_update, stacked_remap, sweep_partials)
 from .pipeline import pipelined_loop
 from .reference import IterStats
 
@@ -494,7 +494,8 @@ def densify_panels(plan: HybridPlan, residual_dtype, *, sharding=None,
 def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                            residual_dtype=jnp.float32, jit_compile=True,
                            nan_mask: bool = False,
-                           panel_kernel: bool = False, nmf: bool = False):
+                           panel_kernel: bool = False, nmf: bool = False,
+                           defer_group: int = 0):
     """One outer iteration over all k ranks (lax.fori_loop), all parts.
 
     Sweep matvec operands are always f32 (storage dtypes upcast at the
@@ -513,7 +514,24 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
     read-modify-write pass and u-sweep partials in one read pass, halving
     panel HBM traffic vs the XLA einsum schedule. Accumulation is blocked
     f32, so factors may differ from the XLA path at FMA/sum-order ULP
-    level (golden tolerance unaffected)."""
+    level (golden tolerance unaffected).
+
+    ``defer_group`` G > 0: the round-4 rank-deferred ELL tail. The residual
+    lanes stay FROZEN for G consecutive ranks; every rank's two rank-1
+    residual deltas (the deferred subtract of rank t-1's new outer product
+    and rank t's add-back, src/CCD.cpp:100-134) are recorded in (·, 2G)
+    side tables, the sweeps run as WIDE single-fusion gather-reduces
+    against the frozen lanes plus algebraic cross-term corrections
+    (ops/ell_ops.deferred_sweep), and the lanes are updated once per group
+    in one 2G-wide flush pass (ops/ell_ops.deferred_flush). Motivation
+    (measured, results/wide_sweep_micro_r4.json + tail_hlo dumps): the one
+    fast gather shape on TPU is gather -> sibling lane-reductions (~flat
+    in table width to ~33 columns), while any gather tile consumed by an
+    elementwise-output fusion materializes with its minor dim padded
+    T -> 128 lanes; deferring turns 2 padded per-rank update passes into
+    corrections riding the sweep fusion + 1/G amortized flushes.
+    Numerically this changes only FMA/accumulation order (golden-tolerance
+    equivalence tested); requires have_light and is ignored otherwise."""
     if panel_kernel and not nan_mask:
         raise ValueError("panel_kernel requires nan_mask")
     rows, cols = plan.ell.rows_side, plan.ell.cols_side
@@ -533,6 +551,9 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
     def _vec(x, w, Wp):                  # (n,) -> padded panel-col vector
         return jnp.pad(x[:w], (0, Wp - w))
 
+    G = int(defer_group) if have_light else 0
+    dsigns = tuple((-1.0 if c % 2 == 0 else 1.0) for c in range(2 * G))
+
     def step(idx_r, idx_c, Rds, masks, vals_r, vals_c, W, H,
              u_pend, v_pend, row_nnz, col_nnz,
              upos_safe, ipos_safe, slot_of_upos, slot_of_ipos):
@@ -548,9 +569,28 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
             return Rd.astype(cdt), mask.astype(cdt)
 
         def rank_body(t, carry):
-            Rds, vals_r, vals_c, W, H, u_pend, v_pend = carry
+            if G:
+                (Rds, vals_r, vals_c, W, H, u_pend, v_pend,
+                 U_def, V_def, OV_def, OU_def) = carry
+            else:
+                Rds, vals_r, vals_c, W, H, u_pend, v_pend = carry
             u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
             v_old = jax.lax.dynamic_slice_in_dim(H, t, 1, 0)[0]
+            if G:
+                # record this rank's two deferred rank-1 residual deltas
+                # (subtract of rank t-1's new product via the pends, rank
+                # t's add-back) in the group tables at columns (2j, 2j+1)
+                jj = 2 * jnp.mod(t, G)
+                ovp, ovo = stacked_remap((v_pend, v_old), ipos_safe)
+                oup, ouo = stacked_remap((u_pend, u_old), upos_safe)
+                U_def = jax.lax.dynamic_update_slice(
+                    U_def, jnp.stack([u_pend, u_old], -1), (0, jj))
+                V_def = jax.lax.dynamic_update_slice(
+                    V_def, jnp.stack([v_pend, v_old], -1), (0, jj))
+                OV_def = jax.lax.dynamic_update_slice(
+                    OV_def, jnp.stack([ovp, ovo]), (jj, 0))
+                OU_def = jax.lax.dynamic_update_slice(
+                    OU_def, jnp.stack([oup, ouo]), (jj, 0))
 
             # ---- dense panels: fused deferred-subtract + add-back, ONE
             # residual pass each (ccd_dense.py schedule; in oiter 1 H[t]==0
@@ -607,7 +647,19 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                         g = g.at[:w].add(gp)
                         h = h.at[:w].add(hp)
                 if have_light:
-                    if i == 0:
+                    if G:
+                        # wide single-fusion gather-reduce vs the FROZEN
+                        # lanes + algebraic corrections for the group's
+                        # recorded rank-1 deltas (deferred_sweep docstring)
+                        tab_c = extend_zero(
+                            jnp.concatenate([u[:, None], U_def], 1))
+                        S0, Sc, h_l = deferred_sweep(idx_c, vals_c, cols,
+                                                     tab_c)
+                        g_l = S0
+                        for c in range(2 * G):
+                            g_l = g_l + jnp.float32(dsigns[c]) * \
+                                OV_def[c] * Sc[c]
+                    elif i == 0:
                         # ONE fused pass: the [u_pend, u_old] row-gather,
                         # the deferred subtract of rank t-1, the add-back
                         # AND the sweep partials all live in one lax.map
@@ -655,7 +707,16 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                         gu = gu.at[r0:r1].add(gp)
                         hu = hu.at[r0:r1].add(hp)
                 if have_light:
-                    if i == 0:
+                    if G:
+                        tab_r = extend_zero(
+                            jnp.concatenate([v[:, None], V_def], 1))
+                        S0r, Scr, h_lr = deferred_sweep(idx_r, vals_r, rows,
+                                                        tab_r)
+                        g_lr = S0r
+                        for c in range(2 * G):
+                            g_lr = g_lr + jnp.float32(dsigns[c]) * \
+                                OU_def[c] * Scr[c]
+                    elif i == 0:
                         # ONE fused pass with a 3-wide [v_pend, v_old, v]
                         # row-gather (same row-mode price as a pair): the
                         # deferred subtract of rank t-1, the add-back, and
@@ -685,9 +746,39 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
             # uniformly (one fused pass per side per rank) ----
             W = jax.lax.dynamic_update_slice_in_dim(W, u[None], t, 0)
             H = jax.lax.dynamic_update_slice_in_dim(H, v[None], t, 0)
-            return (Rds, vals_r, vals_c, W, H, u, v)
+            if not G:
+                return (Rds, vals_r, vals_c, W, H, u, v)
+
+            # ---- group flush: apply the recorded 2G rank-1 deltas to the
+            # frozen lanes in ONE 2G-wide pass per side, then clear the
+            # tables. The LAST rank always flushes so the step returns
+            # up-to-date lanes (checkpoint/resume parity); rank t's own new
+            # outer product stays pending via (u, v) like every path ----
+            def do_flush(args):
+                vals_r, vals_c, U_def, V_def, OV_def, OU_def = args
+                vals_c = deferred_flush(idx_c, vals_c, cols,
+                                        extend_zero(U_def), OV_def, dsigns)
+                vals_r = deferred_flush(idx_r, vals_r, rows,
+                                        extend_zero(V_def), OU_def, dsigns)
+                return (vals_r, vals_c, jnp.zeros_like(U_def),
+                        jnp.zeros_like(V_def), jnp.zeros_like(OV_def),
+                        jnp.zeros_like(OU_def))
+
+            pred = jnp.logical_or(jnp.mod(t, G) == G - 1,
+                                  t == W.shape[0] - 1)
+            (vals_r, vals_c, U_def, V_def, OV_def, OU_def) = jax.lax.cond(
+                pred, do_flush, lambda a: a,
+                (vals_r, vals_c, U_def, V_def, OV_def, OU_def))
+            return (Rds, vals_r, vals_c, W, H, u, v,
+                    U_def, V_def, OV_def, OU_def)
 
         k = W.shape[0]
+        if G:
+            init = (Rds, vals_r, vals_c, W, H, u_pend, v_pend,
+                    jnp.zeros((m, 2 * G), f32), jnp.zeros((n, 2 * G), f32),
+                    jnp.zeros((2 * G, cols.n_slots), f32),
+                    jnp.zeros((2 * G, rows.n_slots), f32))
+            return jax.lax.fori_loop(0, k, rank_body, init)[:7]
         return jax.lax.fori_loop(
             0, k, rank_body, (Rds, vals_r, vals_c, W, H, u_pend, v_pend))
 
@@ -1023,7 +1114,8 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     step_fn = make_hybrid_outer_step(plan, cfg.lambda_, cfg.maxinneriter,
                                      residual_dtype=rdt, nan_mask=nan_mask,
                                      panel_kernel=kernel,
-                                     nmf=cfg.do_nmf)
+                                     nmf=cfg.do_nmf,
+                                     defer_group=cfg.hybrid_defer_group)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=False,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

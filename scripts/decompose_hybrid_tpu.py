@@ -69,7 +69,7 @@ def time_step(step, idx_r, idx_c, masks, s, consts, group=4):
         return time.perf_counter() - t0, s
 
     t1s, tgs = [], []
-    for _ in range(2):
+    for _ in range(4):
         d1, s = grp(1, s)
         dg, s = grp(group, s)
         t1s.append(d1)
@@ -116,9 +116,12 @@ def main():
         "panels_only": dataclasses.replace(plan, nnz_light=0),
         "tail_only": dataclasses.replace(plan, panels=()),
     }
+    defer_g = int(os.environ.get("CRTPU_DEFER_GROUP", "8"))
+    out["defer_group"] = defer_g
     for name, pvar in variants.items():
         step = make_hybrid_outer_step(pvar, lam, 1, residual_dtype=rdt,
-                                      nan_mask=True, panel_kernel=True)
+                                      nan_mask=True, panel_kernel=True,
+                                      defer_group=defer_g)
         # fresh device state per variant: every state arg is DONATED by the
         # jitted step, so buffers from the previous variant are dead
         Rv = (densify_panels(plan, rdt, mask_dtype="nan", block_pad=True)[0]

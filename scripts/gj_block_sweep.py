@@ -48,10 +48,17 @@ def main():
 
     out = {"k": k, "S": S}
     x_ref = None
-    for bs, unroll in ((128, False), (128, True), (256, True), (512, True)):
-        fits = _pipelined_fits(k, bs)
-        fn = jax.jit(lambda A, b, bs=bs, u=unroll: gj_solve_pallas_bl(
-            A, b, interpret=interp, block_s=bs, unroll=u))
+    # (block_s, unroll, block_r): block_r=0 is the round-3 step-at-a-time
+    # elimination; block_r>0 is the round-4 blocked panel elimination
+    # (ops/gj_pallas._eliminate_blocked) that streams the full scratch
+    # k/r times instead of k.
+    for bs, unroll, br in ((128, True, 0), (256, True, 0),
+                           (128, True, 4), (128, True, 8), (128, True, 16),
+                           (256, True, 4), (256, True, 8), (256, True, 16),
+                           (512, True, 8)):
+        fits = _pipelined_fits(k, bs, br)
+        fn = jax.jit(lambda A, b, bs=bs, u=unroll, br=br: gj_solve_pallas_bl(
+            A, b, interpret=interp, block_s=bs, unroll=u, block_r=br))
         t0 = time.perf_counter()
         x = fn(A, b)
         _ = np.asarray(x).sum()
@@ -64,7 +71,8 @@ def main():
         err = (float(jnp.max(jnp.abs(x - x_ref))) if x_ref is not None
                else 0.0)
         x_ref = x if x_ref is None else x_ref
-        tag = f"bs{bs}_{'unroll' if unroll else 'fori'}"
+        tag = f"bs{bs}_{'unroll' if unroll else 'fori'}" + (
+            f"_r{br}" if br else "")
         out[tag] = {"ms": round(dt * 1e3, 2),
                     "pipelined": bool(fits),
                     "compile_s": round(compile_s, 1),

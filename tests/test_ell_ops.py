@@ -144,3 +144,70 @@ def test_fused_ops_empty_side():
     assert g.shape == (3,) and not np.asarray(g).any()
     g2, h2 = fused_sweep((), (), side, tab)
     assert g2.shape == (3,) and not np.asarray(h2).any()
+
+
+def test_deferred_sweep_matches_composition(ell):
+    """deferred_sweep + the caller's algebraic correction == apply the
+    group's rank-1 deltas to the lanes, then sweep (the round-4 rank-
+    deferred tail, ops/ell_ops.deferred_sweep docstring)."""
+    R, pair = ell
+    cols = pair.cols_side
+    idx_c, vals_c = _tiles(cols)
+    rng = np.random.default_rng(4)
+    G = 2
+    sweep = jnp.asarray(rng.standard_normal(R.rows), jnp.float32)
+    defs = [jnp.asarray(rng.standard_normal(R.rows), jnp.float32)
+            for _ in range(2 * G)]
+    owns = [jnp.asarray(rng.standard_normal(cols.n_slots), jnp.float32)
+            for _ in range(2 * G)]
+    signs = [(-1.0 if c % 2 == 0 else 1.0) for c in range(2 * G)]
+
+    # reference: materialize the updated lanes, then sweep
+    v_ref = vals_c
+    for d, o, s in zip(defs, owns, signs):
+        pg = paired_gather(extend_zero(jnp.stack([d, d], -1)), idx_c)
+        v_ref = residual_update(idx_c, v_ref, cols, None, o, s,
+                                gathered=[p[0] for p in pg])
+    ps = paired_gather(extend_zero(jnp.stack([sweep, sweep], -1)), idx_c)
+    g_ref, h_ref, _ = sweep_partials(idx_c, v_ref, cols, None,
+                                     gathered=[p[0] for p in ps])
+
+    from cuda_recommender_tpu.ops.ell_ops import deferred_sweep
+    tab = extend_zero(jnp.stack([sweep] + defs, -1))
+    S0, Sc, h = deferred_sweep(idx_c, vals_c, cols, tab)
+    g = S0
+    for c in range(2 * G):
+        g = g + jnp.float32(signs[c]) * owns[c] * Sc[c]
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_deferred_flush_matches_sequential_updates(ell):
+    """deferred_flush == the same 2G residual_updates applied one at a
+    time (UpdateRating, src/CCD.cpp:18-43)."""
+    R, pair = ell
+    rows = pair.rows_side
+    idx_r, vals_r = _tiles(rows)
+    rng = np.random.default_rng(5)
+    G = 2
+    defs = [jnp.asarray(rng.standard_normal(R.cols), jnp.float32)
+            for _ in range(2 * G)]
+    owns = np.stack([rng.standard_normal(rows.n_slots).astype(np.float32)
+                     for _ in range(2 * G)])
+    signs = [(-1.0 if c % 2 == 0 else 1.0) for c in range(2 * G)]
+
+    v_ref = vals_r
+    for d, o, s in zip(defs, owns, signs):
+        pg = paired_gather(extend_zero(jnp.stack([d, d], -1)), idx_r)
+        v_ref = residual_update(idx_r, v_ref, rows, None, jnp.asarray(o), s,
+                                gathered=[p[0] for p in pg])
+
+    from cuda_recommender_tpu.ops.ell_ops import deferred_flush
+    tab = extend_zero(jnp.stack(defs, -1))
+    new_vals = deferred_flush(idx_r, vals_r, rows, tab, jnp.asarray(owns),
+                              signs)
+    for nv, rv in zip(new_vals, v_ref):
+        np.testing.assert_allclose(np.asarray(nv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)

@@ -340,3 +340,26 @@ def test_hybrid_auto_stair_full_budget(small_data):
     plan = plan_hybrid(R, cfg, materialize_dense=False)
     assert plan.panels == ((0, R.rows, R.cols),)
     assert plan.nnz_light == 0
+
+
+@pytest.mark.parametrize("defer,inner", [(2, 1), (3, 2), (16, 1)])
+def test_hybrid_defer_group_equivalent(small_data, defer, inner):
+    """The rank-deferred ELL tail (hybrid_defer_group=G) is numerically
+    interchangeable with the per-rank fused path (G=0): same RankOneUpdate
+    / UpdateRating math, different FMA order. Covers a G that divides k, a
+    G with a partial trailing group + inner iterations, and G > k (single
+    group flushed at the last rank)."""
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    base = dict(k=K, maxiter=3, maxinneriter=inner, lambda_=0.1,
+                backend="hybrid", hybrid_dense_cells=100 * 120,
+                hybrid_panel_widths=(32, 16))
+    W_a, H_a, st_a = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
+                                      Config(hybrid_defer_group=0, **base))
+    W_b, H_b, st_b = ccd_hybrid_train(R, W0.copy(), H0.copy(), T,
+                                      Config(hybrid_defer_group=defer,
+                                             **base))
+    np.testing.assert_allclose(W_b, W_a, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(H_b, H_a, rtol=1e-3, atol=1e-4)
+    for a, b in zip(st_a, st_b):
+        assert abs(a.rmse - b.rmse) < 1e-4
