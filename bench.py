@@ -203,9 +203,10 @@ def main() -> None:
               jnp.asarray(plan.ipos_of_slot_safe),
               jnp.asarray(plan.slot_of_upos), jnp.asarray(plan.slot_of_ipos))
 
-    # rank-deferred ELL tail (round 4): frozen lanes + wide gather-reduce
-    # corrections, group flush — CRTPU_DEFER_GROUP=0 reverts for A/B
-    defer_g = int(os.environ.get("CRTPU_DEFER_GROUP", "8"))
+    # rank-deferred ELL tail (round 4): measured a wash vs the fused path
+    # (results/tail_floor_r4.json — both at the gather-issue wall); opt-in
+    # via CRTPU_DEFER_GROUP for A/B only
+    defer_g = int(os.environ.get("CRTPU_DEFER_GROUP", "0"))
     step = make_hybrid_outer_step(plan, lam, 1, residual_dtype=rdt,
                                   nan_mask=mdt_name == "nan",
                                   panel_kernel=kernel,
@@ -238,8 +239,12 @@ def main() -> None:
         _ = np.asarray(st[3]).sum()
         return time.perf_counter() - t0, st
 
+    # >= 5 group pairs (VERDICT r3 next #7): at GROUP=8 the fence noise in
+    # a pair divides by 7, but the quoted median needs enough pairs to be
+    # trustworthy; spread is reported from these samples, not from any
+    # separate artifact run.
     t1s, tgs = [], []
-    for _ in range(max(2, iters // 2)):
+    for _ in range(5 if on_tpu else 2):
         d1, s = timed_group(1)
         t1s.append(d1)
         dg, s = timed_group(GROUP)
@@ -248,6 +253,7 @@ def main() -> None:
     dt = (tg_med - t1_med) / (GROUP - 1)
     fence_cost = t1_med - dt
     samples = [(g - o) / (GROUP - 1) for g, o in zip(tgs, t1s)]
+    spread_pct = (100.0 * (max(samples) - min(samples)) / dt) if dt else 0.0
 
     # composite roofline of this decomposition on this chip
     panel_cells = sum((r1 - r0) * w for r0, r1, w in plan.panels)
@@ -287,6 +293,7 @@ def main() -> None:
             "iter_s_samples": [round(x, 3) for x in samples],
             "iter_s_min_max": [round(min(samples), 3),
                                round(max(samples), 3)],
+            "iter_s_spread_pct": round(spread_pct, 1),
             "fence_readback_s": round(fence_cost, 3),
             "panels": [list(p) for p in plan.panels],
             "nnz_light_frac": round(plan.nnz_light / R.nnz, 4),

@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the hybrid backend's dense panels through the "
                         "fused Pallas kernels (requires --mask-dtype nan; "
                         "single-device or sharded)")
+    p.add_argument("--defer-group", type=int, default=None, metavar="G",
+                   help="hybrid ELL-tail rank-deferral group (0 disables; "
+                        "default Config.hybrid_defer_group)")
     # io
     p.add_argument("data_dir", nargs="?", default=None)
     p.add_argument("--dataset", default=None,
@@ -158,6 +161,8 @@ def main(argv=None) -> int:
     )
     if args.hybrid_cells is not None:
         cfg.hybrid_dense_cells = int(args.hybrid_cells)
+    if args.defer_group is not None:
+        cfg.hybrid_defer_group = int(args.defer_group)
     if args.panel_widths is not None:
         cfg.hybrid_panel_widths = (
             "auto" if args.panel_widths == "auto" else

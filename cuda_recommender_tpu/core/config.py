@@ -143,13 +143,17 @@ class Config:
     #: kernels derive the mask from the NaN sentinel in-register) and the
     #: single-device hybrid path. Panels are allocated block-padded.
     hybrid_panel_kernel: bool = False
-    #: Rank-deferral group G for the hybrid ELL tail (0 = off): residual
-    #: lanes stay frozen for G ranks, sweeps run as (2G+1)-wide single-
-    #: fusion gather-reduces with algebraic corrections, and the lanes are
-    #: flushed once per group (ops/ell_ops.deferred_sweep/deferred_flush).
-    #: Same math, different FMA order; measured ~2.3x on the tail at
-    #: Netflix-100M (results/hybrid_decomposition_r4.json).
-    hybrid_defer_group: int = 8
+    #: Rank-deferral group G for the hybrid ELL tail (0 = off, the
+    #: default): residual lanes stay frozen for G ranks, sweeps run as
+    #: (2G+1)-wide single-fusion gather-reduces with algebraic corrections,
+    #: lanes flushed once per group (ops/ell_ops.deferred_sweep/
+    #: deferred_flush). Measured at Netflix-100M the deferred tail lands
+    #: WITHIN the same gather-issue wall as the per-rank fused path
+    #: (41.5 vs 38.6 ms/rank -- results/tail_floor_r4.json: every tail
+    #: schedule is bound by ~3.3-4.6 ns/gathered-lane; the round-3 design
+    #: already sits at ~92% of that wall), so it stays opt-in as the
+    #: floor-proof experiment, not the default.
+    hybrid_defer_group: int = 0
 
     # --- io ---
     data_dir: Optional[str] = None         # positional data_dir (reference CLI)

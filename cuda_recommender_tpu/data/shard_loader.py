@@ -233,3 +233,203 @@ def load_local_ell_shards(dirname: str, num_shards: int,
         rows_blocks=rows_blocks, cols_blocks=cols_blocks,
         shard_ids=list(shard_ids),
         nnz_read=r_reader.nnz_read + c_reader.nnz_read)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid-backend host-local loading (VERDICT r3 next #5)
+#
+# The hybrid plan's LAYOUT (degree sort, panel stair, light-remainder ELL
+# geometry) is nnz-independent once the light degrees are known; only the
+# FILL is nnz-scale. A coordinator (or offline converter — the reference's
+# own discipline, src/tools.cpp:3-85: fix the layout once, every run reads
+# it) computes the layout in one streaming pass and publishes a small
+# manifest (O(m+n) ints); every worker then derives the identical ELL
+# geometry from the manifest and range-reads ONLY its shards' rows.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridManifest:
+    """Layout metadata for host-local hybrid loading: O(m+n), no nnz."""
+
+    m: int
+    n: int
+    user_order: np.ndarray        # (m,) original user ids, degree-sorted
+    item_order: np.ndarray        # (n,)
+    panels: tuple                 # ((r0, r1, w), ...) over sorted rows
+    light_deg_row: np.ndarray     # (m,) light degree per SORTED row
+    light_deg_col: np.ndarray     # (n,) light degree per SORTED col
+
+
+def hybrid_manifest_from_plan(plan) -> HybridManifest:
+    """Derive the manifest from a HybridPlan (what the coordinator/parent
+    publishes; workers never see the plan object)."""
+    rows, cols = plan.ell.rows_side, plan.ell.cols_side
+
+    def light_deg(side, count):
+        deg = np.zeros(count, np.float32)
+        has = side.slot_of_entity >= 0
+        deg[has] = side.slot_nnz[side.slot_of_entity[has]]
+        return deg.astype(np.int64)
+
+    return HybridManifest(
+        m=plan.row_nnz.shape[0], n=plan.col_nnz.shape[0],
+        user_order=np.asarray(plan.user_order),
+        item_order=np.asarray(plan.item_order),
+        panels=tuple(tuple(p) for p in plan.panels),
+        light_deg_row=light_deg(rows, plan.row_nnz.shape[0]),
+        light_deg_col=light_deg(cols, plan.col_nnz.shape[0]))
+
+
+def save_hybrid_manifest(path: str, mf: HybridManifest) -> None:
+    np.savez(path, m=mf.m, n=mf.n, user_order=mf.user_order,
+             item_order=mf.item_order,
+             panels=np.asarray(mf.panels, np.int64).reshape(-1, 3),
+             light_deg_row=mf.light_deg_row, light_deg_col=mf.light_deg_col)
+
+
+def load_hybrid_manifest(path: str) -> HybridManifest:
+    z = np.load(path)
+    return HybridManifest(
+        m=int(z["m"]), n=int(z["n"]), user_order=z["user_order"],
+        item_order=z["item_order"],
+        panels=tuple(tuple(int(x) for x in row) for row in z["panels"]),
+        light_deg_row=z["light_deg_row"], light_deg_col=z["light_deg_col"])
+
+
+def _width_at_row(mf: HybridManifest) -> np.ndarray:
+    """(m,) panel width covering each sorted row (0 past the stair)."""
+    w = np.zeros(mf.m, np.int64)
+    for r0, r1, width in mf.panels:
+        w[r0:r1] = width
+    return w
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalHybridShards:
+    """One process's host-local view of the hybrid-plan dataset."""
+
+    rows_side: EllSide            # light-remainder geometry (entity space)
+    cols_side: EllSide
+    rows_blocks: list             # per bucket, per owned shard: (idx, val)
+    cols_blocks: list
+    #: per panel, per owned shard: (residual_block, mask_block) f32 dense
+    panel_blocks: list
+    shard_ids: list
+    nnz_read: int
+    expected_nnz_read: int        # exact fair share (full degrees fetched)
+
+
+def load_local_hybrid_shards(dirname: str, mf: HybridManifest,
+                             num_shards: int, shard_ids: list[int], *,
+                             ell_min_width: int = 8) -> LocalHybridShards:
+    """Host-local hybrid loading: light-ELL geometry from the manifest's
+    light degrees (identical in every process), then range reads of ONLY
+
+    * this process's panel ROW blocks (each panel's rows shard contiguously
+      across devices, entries with item_pos < width densify, the rest are
+      skipped here — they live in the ELL blocks), and
+    * this process's light-ELL bucket entities (full neighbor lists
+      fetched, filtered to light entries by the stair predicate
+      item_pos >= width_at_row[row_pos]).
+
+    ``nnz_read`` counts every neighbor entry fetched (panel rows + both ELL
+    orientations — an entity's list is fetched whole and filtered locally,
+    so the meter counts full degrees); ``expected_nnz_read`` is the exact
+    fair share so callers can assert no process over-reads."""
+    hdr = load_header(dirname)
+    if (hdr.m, hdr.n) != (mf.m, mf.n):
+        raise ValueError("manifest/dataset shape mismatch")
+    csr_ptr, csc_ptr = load_ptrs(dirname, hdr)
+    lptr_r = np.concatenate([[0], np.cumsum(mf.light_deg_row)])
+    lptr_c = np.concatenate([[0], np.cumsum(mf.light_deg_col)])
+    rows_side, cols_side, rgrids, cgrids = plan_ell_pair(
+        lptr_r, lptr_c, mf.m, mf.n, min_width=ell_min_width,
+        num_shards=num_shards)
+    width_row = _width_at_row(mf)
+    user_pos = np.empty(mf.m, np.int64)
+    user_pos[mf.user_order] = np.arange(mf.m)
+    item_pos = np.empty(mf.n, np.int64)
+    item_pos[mf.item_order] = np.arange(mf.n)
+
+    r_reader = RangeReader(dirname, hdr.train_names[4], hdr.train_names[5],
+                           csr_ptr)
+    c_reader = RangeReader(dirname, hdr.train_names[7], hdr.train_names[8],
+                           csc_ptr)
+    expected = 0
+
+    def fill_filtered(side, grids, reader, order_self, pos_other,
+                      light_of, other_zero):
+        """fill_local_bucket_blocks with the stair's light filter; asserts
+        each slot's surviving count equals the layout's slot_nnz."""
+        nonlocal expected
+        out = []
+        for bi, (b, grid) in enumerate(zip(side.buckets, grids)):
+            off = side.bucket_offsets[bi]
+            blocks = []
+            for s in shard_ids:
+                ids = np.asarray(grid[s])
+                idxb = np.full((b.rows_per_shard, b.L), other_zero,
+                               np.int32)
+                valb = np.zeros((b.rows_per_shard, b.L), np.float32)
+                valid = np.where(ids >= 0)[0]
+                ents = ids[valid]                    # sorted positions
+                lptr, lidx, lval = reader.fetch(order_self[ents])
+                expected += int(lptr[-1])
+                for q, j in enumerate(valid):
+                    sl = slice(lptr[q], lptr[q + 1])
+                    po = pos_other[lidx[sl]]
+                    keep = light_of(int(ents[q]), po)
+                    po, lv = po[keep], lval[sl][keep]
+                    d = po.size
+                    gslot = s * side.slots_per_shard + off + int(j)
+                    if d != int(side.slot_nnz[gslot]):
+                        raise ValueError(
+                            f"light filter/layout mismatch at slot {gslot}: "
+                            f"kept {d}, layout says "
+                            f"{int(side.slot_nnz[gslot])}")
+                    r, c0 = int(j) // b.p, (int(j) % b.p) * b.E
+                    idxb[r, c0:c0 + d] = po.astype(np.int32)
+                    valb[r, c0:c0 + d] = lv
+                blocks.append((idxb, valb))
+            out.append(blocks)
+        return out
+
+    rows_blocks = fill_filtered(
+        rows_side, rgrids, r_reader, mf.user_order, item_pos,
+        lambda rpos, po: po >= width_row[rpos], mf.n)
+    cols_blocks = fill_filtered(
+        cols_side, cgrids, c_reader, mf.item_order, user_pos,
+        lambda ipos, pu: ipos >= width_row[pu], mf.m)
+
+    # panel row blocks: contiguous sorted rows per device
+    panel_blocks = []
+    for r0, r1, w in mf.panels:
+        rows_ = r1 - r0
+        if rows_ % num_shards:
+            raise ValueError(f"panel rows {rows_} not divisible by "
+                             f"{num_shards} shards")
+        per = rows_ // num_shards
+        blocks = []
+        for s in shard_ids:
+            lo = r0 + s * per
+            ents = np.arange(lo, lo + per)
+            lptr, lidx, lval = r_reader.fetch(mf.user_order[ents])
+            expected += int(lptr[-1])
+            A = np.zeros((per, w), np.float32)
+            Mk = np.zeros((per, w), np.float32)
+            for q in range(per):
+                sl = slice(lptr[q], lptr[q + 1])
+                po = item_pos[lidx[sl]]
+                keep = po < w
+                A[q, po[keep]] = lval[sl][keep]
+                Mk[q, po[keep]] = 1.0
+            blocks.append((A, Mk))
+        panel_blocks.append(blocks)
+
+    return LocalHybridShards(
+        rows_side=rows_side, cols_side=cols_side,
+        rows_blocks=rows_blocks, cols_blocks=cols_blocks,
+        panel_blocks=panel_blocks, shard_ids=list(shard_ids),
+        nnz_read=r_reader.nnz_read + c_reader.nnz_read,
+        expected_nnz_read=expected)

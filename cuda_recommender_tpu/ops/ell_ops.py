@@ -259,14 +259,13 @@ def deferred_sweep(idx_tiles, val_tiles, side: EllSide,
     """Wide gather-reduce sweep against a FROZEN residual plus deferred
     rank-1 corrections — the round-4 single-fast-shape design.
 
-    Measured facts driving it (results/tail_hlo_r4 + wide_sweep_micro_r4):
-    a (S, T) row-gather is only fast when its tile is consumed by ONE
-    sibling-reduction fusion (~0.4 ns/lane-row, flat in T up to ~33); any
-    tile feeding an elementwise-output fusion makes XLA materialize the
-    full (rows, L, T) gather with its minor dim padded T -> 128 lanes (64x
-    write+read amplification at T=2 — the round-3 tail's real cost, which
-    the lax.map chunking did not bound because every tail bucket fits one
-    chunk and 1-trip loops flatten).
+    NOTE (corrected, results/tail_floor_r4.json): the early controls that
+    motivated this op were partially dead-code-eliminated; full-consumer
+    re-measurement puts a 17-wide sweep at ~37 ms/rank vs the 2-wide's
+    23 and the per-rank fused path's 38.6 — the tail is gather-issue
+    bound (~3.9 ns/lane) and the deferred design lands at the SAME wall
+    (41.5 ms/rank). Kept as the opt-in hybrid_defer_group experiment and
+    floor-proof apparatus, not the default.
 
     So the residual update is DEFERRED: ``table_ext`` carries the sweep
     vector in column 0 and the group's deferred rank-1 update vectors in
@@ -321,6 +320,54 @@ def deferred_flush(idx_tiles, val_tiles, side: EllSide,
                 _bslice(owns[c], side, i), b)
         out.append(nv)
     return tuple(out)
+
+
+def fused_remap_combine(S_vecs, h_vec, idx: jnp.ndarray,
+                        weights: jnp.ndarray, signs) -> tuple:
+    """Slot->entity remap of the deferred-sweep outputs FUSED with the
+    correction combination, in one chunked pass:
+
+        g_e[e] = S_0[idx[e]] + sum_c signs[c] * weights[e, c] * S_{c+1}[idx[e]]
+        h_e[e] = h[idx[e]]
+
+    Why fused: a wide stacked remap whose 2G+2 output slices feed separate
+    consumer fusions re-triggers the padded-gather materialization
+    (measured 38 ms/rank in context vs 7.5 isolated,
+    results/deferred_tail_micro_r4.json); consuming the gathered (L, T)
+    tile by ONE in-body chain keeps it unmaterialized, and the in-map
+    gather penalty (~4.6 ns/row) only applies to the ~(m+n) remap rows,
+    not the nnz-scale sweep lanes. ``S_vecs``: list of 2G+1 slot vectors
+    (S_0 first); ``weights``: (2G, N) entity-indexed deferred own values
+    (e.g. V_def.T — lane-minor so the per-chunk weight tiles carry no
+    minor-dim padding); ``idx``: (N,) slot ids (sentinel = n_slots reads
+    the appended zero row). Returns (g_e (N,), h_e (N,))."""
+    tab = extend_zero(jnp.stack(list(S_vecs) + [h_vec], axis=-1))
+    T = int(tab.shape[1])
+    n2g = len(signs)
+    sgn = [jnp.float32(s) for s in signs]
+    N = idx.shape[0]
+    L = min(1024, max(128, N))
+    chunk = max(8, (1 << 19) // L)
+    pad = (-N) % (chunk * L)
+    sent = tab.shape[0] - 1
+    ixp = (jnp.concatenate([idx, jnp.full((pad,), sent, idx.dtype)])
+           if pad else idx)
+    wp = (jnp.concatenate(
+        [weights, jnp.zeros((n2g, pad), weights.dtype)], axis=1)
+        if pad else weights)
+    nc = ixp.size // (chunk * L)
+    wx = jnp.transpose(wp.reshape(n2g, nc, chunk * L), (1, 0, 2))
+
+    def body(args):
+        ic, wc = args                  # (chunk, L), (2G, chunk*L)
+        gt = tab[ic]                   # (chunk, L, T) — one consumer chain
+        ge = gt[..., 0]
+        for c in range(n2g):
+            ge = ge + sgn[c] * wc[c].reshape(ic.shape) * gt[..., c + 1]
+        return ge, gt[..., T - 1]
+
+    ge, he = jax.lax.map(body, (ixp.reshape(nc, chunk, L), wx))
+    return ge.reshape(-1)[:N], he.reshape(-1)[:N]
 
 
 def sweep_partials(idx_tiles, val_tiles, side: EllSide, other_ext,

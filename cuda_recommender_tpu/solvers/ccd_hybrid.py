@@ -71,7 +71,8 @@ from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..native.groupsort import key_count, perm_gather, stable_perm
 from ..ops.densify import densify_coo
 from ..ops.ell_ops import (deferred_flush, deferred_sweep, extend_zero,
-                           fused_sweep, fused_update_sweep, paired_gather,
+                           fused_remap_combine, fused_sweep,
+                           fused_update_sweep, paired_gather,
                            residual_update, stacked_remap, sweep_partials)
 from .pipeline import pipelined_loop
 from .reference import IterStats
@@ -571,7 +572,7 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
         def rank_body(t, carry):
             if G:
                 (Rds, vals_r, vals_c, W, H, u_pend, v_pend,
-                 U_def, V_def, OV_def, OU_def) = carry
+                 U_def, V_def) = carry
             else:
                 Rds, vals_r, vals_c, W, H, u_pend, v_pend = carry
             u_old = jax.lax.dynamic_slice_in_dim(W, t, 1, 0)[0]
@@ -579,18 +580,15 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
             if G:
                 # record this rank's two deferred rank-1 residual deltas
                 # (subtract of rank t-1's new product via the pends, rank
-                # t's add-back) in the group tables at columns (2j, 2j+1)
+                # t's add-back) in the group tables at columns (2j, 2j+1).
+                # NO slot-space own tables: corrections combine in ENTITY
+                # space inside fused_remap_combine, and the flush remaps
+                # the group's own vectors once (amortized /G).
                 jj = 2 * jnp.mod(t, G)
-                ovp, ovo = stacked_remap((v_pend, v_old), ipos_safe)
-                oup, ouo = stacked_remap((u_pend, u_old), upos_safe)
                 U_def = jax.lax.dynamic_update_slice(
                     U_def, jnp.stack([u_pend, u_old], -1), (0, jj))
                 V_def = jax.lax.dynamic_update_slice(
                     V_def, jnp.stack([v_pend, v_old], -1), (0, jj))
-                OV_def = jax.lax.dynamic_update_slice(
-                    OV_def, jnp.stack([ovp, ovo]), (jj, 0))
-                OU_def = jax.lax.dynamic_update_slice(
-                    OU_def, jnp.stack([oup, ouo]), (jj, 0))
 
             # ---- dense panels: fused deferred-subtract + add-back, ONE
             # residual pass each (ccd_dense.py schedule; in oiter 1 H[t]==0
@@ -650,15 +648,15 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                     if G:
                         # wide single-fusion gather-reduce vs the FROZEN
                         # lanes + algebraic corrections for the group's
-                        # recorded rank-1 deltas (deferred_sweep docstring)
+                        # recorded rank-1 deltas (deferred_sweep docstring);
+                        # slot->entity remap fused with the entity-space
+                        # correction combination (fused_remap_combine)
                         tab_c = extend_zero(
                             jnp.concatenate([u[:, None], U_def], 1))
                         S0, Sc, h_l = deferred_sweep(idx_c, vals_c, cols,
                                                      tab_c)
-                        g_l = S0
-                        for c in range(2 * G):
-                            g_l = g_l + jnp.float32(dsigns[c]) * \
-                                OV_def[c] * Sc[c]
+                        g_e, h_e = fused_remap_combine(
+                            [S0] + Sc, h_l, slot_of_ipos, V_def.T, dsigns)
                     elif i == 0:
                         # ONE fused pass: the [u_pend, u_old] row-gather,
                         # the deferred subtract of rank t-1, the add-back
@@ -675,7 +673,8 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                         g_l, h_l = fused_sweep(
                             idx_c, vals_c, cols,
                             extend_zero(jnp.stack([u, u], -1)), sweep_col=0)
-                    g_e, h_e = stacked_remap((g_l, h_l), slot_of_ipos)
+                    if not G:
+                        g_e, h_e = stacked_remap((g_l, h_l), slot_of_ipos)
                     g = g + g_e
                     h = h + h_e
                 # full-denominator guard (like ccd_dense._half_sweep):
@@ -712,10 +711,9 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                             jnp.concatenate([v[:, None], V_def], 1))
                         S0r, Scr, h_lr = deferred_sweep(idx_r, vals_r, rows,
                                                         tab_r)
-                        g_lr = S0r
-                        for c in range(2 * G):
-                            g_lr = g_lr + jnp.float32(dsigns[c]) * \
-                                OU_def[c] * Scr[c]
+                        gu_e, hu_e = fused_remap_combine(
+                            [S0r] + Scr, h_lr, slot_of_upos, U_def.T,
+                            dsigns)
                     elif i == 0:
                         # ONE fused pass with a 3-wide [v_pend, v_old, v]
                         # row-gather (same row-mode price as a pair): the
@@ -732,7 +730,9 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
                         g_lr, h_lr = fused_sweep(
                             idx_r, vals_r, rows,
                             extend_zero(jnp.stack([v, v], -1)), sweep_col=0)
-                    gu_e, hu_e = stacked_remap((g_lr, h_lr), slot_of_upos)
+                    if not G:
+                        gu_e, hu_e = stacked_remap((g_lr, h_lr),
+                                                   slot_of_upos)
                     gu = gu + gu_e
                     hu = hu + hu_e
                 den_u = lam_ * row_nnz + hu
@@ -755,29 +755,32 @@ def make_hybrid_outer_step(plan: HybridPlan, lam: float, maxinneriter: int,
             # up-to-date lanes (checkpoint/resume parity); rank t's own new
             # outer product stays pending via (u, v) like every path ----
             def do_flush(args):
-                vals_r, vals_c, U_def, V_def, OV_def, OU_def = args
+                vals_r, vals_c, U_def, V_def = args
+                # the flush needs slot-space own vectors: remap the group's
+                # 2G deferred columns ONCE here (amortized /G) instead of
+                # keeping per-rank own tables
+                OV = jnp.stack(stacked_remap(
+                    [V_def[:, c] for c in range(2 * G)], ipos_safe))
+                OU = jnp.stack(stacked_remap(
+                    [U_def[:, c] for c in range(2 * G)], upos_safe))
                 vals_c = deferred_flush(idx_c, vals_c, cols,
-                                        extend_zero(U_def), OV_def, dsigns)
+                                        extend_zero(U_def), OV, dsigns)
                 vals_r = deferred_flush(idx_r, vals_r, rows,
-                                        extend_zero(V_def), OU_def, dsigns)
+                                        extend_zero(V_def), OU, dsigns)
                 return (vals_r, vals_c, jnp.zeros_like(U_def),
-                        jnp.zeros_like(V_def), jnp.zeros_like(OV_def),
-                        jnp.zeros_like(OU_def))
+                        jnp.zeros_like(V_def))
 
             pred = jnp.logical_or(jnp.mod(t, G) == G - 1,
                                   t == W.shape[0] - 1)
-            (vals_r, vals_c, U_def, V_def, OV_def, OU_def) = jax.lax.cond(
+            (vals_r, vals_c, U_def, V_def) = jax.lax.cond(
                 pred, do_flush, lambda a: a,
-                (vals_r, vals_c, U_def, V_def, OV_def, OU_def))
-            return (Rds, vals_r, vals_c, W, H, u, v,
-                    U_def, V_def, OV_def, OU_def)
+                (vals_r, vals_c, U_def, V_def))
+            return (Rds, vals_r, vals_c, W, H, u, v, U_def, V_def)
 
         k = W.shape[0]
         if G:
             init = (Rds, vals_r, vals_c, W, H, u_pend, v_pend,
-                    jnp.zeros((m, 2 * G), f32), jnp.zeros((n, 2 * G), f32),
-                    jnp.zeros((2 * G, cols.n_slots), f32),
-                    jnp.zeros((2 * G, rows.n_slots), f32))
+                    jnp.zeros((m, 2 * G), f32), jnp.zeros((n, 2 * G), f32))
             return jax.lax.fori_loop(0, k, rank_body, init)[:7]
         return jax.lax.fori_loop(
             0, k, rank_body, (Rds, vals_r, vals_c, W, H, u_pend, v_pend))

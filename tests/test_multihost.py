@@ -55,10 +55,23 @@ def test_assemble_global_wrong_count():
 
 def test_two_process_hybrid_matches_single_process(tmp_path):
     """Same 2-real-process discipline for the panel-hybrid flagship path:
-    per-process host-local panel/ELL row blocks, replicated factors, Gloo
+    per-process HOST-LOCAL range-read loading of panel row blocks and
+    light-ELL buckets from the binary dataset + layout manifest (each
+    worker asserts exact fair-share nnz_read), replicated factors, Gloo
     psum per half-sweep; the replicated result must match the
     single-process 8-device sharded hybrid run."""
     import multihost_hybrid_worker as mw
+
+    from cuda_recommender_tpu.data.binfmt import write_binary_dataset
+    from cuda_recommender_tpu.data.datasets import synthetic as synth
+    from cuda_recommender_tpu.data.shard_loader import (
+        hybrid_manifest_from_plan, save_hybrid_manifest)
+    from cuda_recommender_tpu.solvers.ccd_hybrid import plan_hybrid as ph
+    Rw, Tw = synth(m=mw.M, n=mw.N, nnz=mw.NNZ, seed=mw.SEED)
+    write_binary_dataset(str(tmp_path / "hyb_data"), Rw, Tw)
+    plan_w = ph(Rw, mw.make_cfg(), num_shards=8, materialize_dense=False)
+    save_hybrid_manifest(str(tmp_path / "hyb_manifest.npz"),
+                         hybrid_manifest_from_plan(plan_w))
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -101,10 +114,17 @@ def test_two_process_hybrid_matches_single_process(tmp_path):
 
 
 def test_two_process_als_matches_single_process(tmp_path):
-    """ALS across 2 real processes: one cross-process all_gather of the
-    opposite factor table per half-iteration (Gloo); reassembled slot
-    shards must equal the single-process 8-device sharded ALS run."""
+    """ALS across 2 real processes: host-local range-read loading (each
+    worker asserts exact fair-share nnz_read), one cross-process
+    all_gather of the opposite factor table per half-iteration (Gloo);
+    reassembled slot shards must equal the single-process 8-device
+    sharded ALS run."""
     import multihost_als_worker as mw
+
+    from cuda_recommender_tpu.data.binfmt import write_binary_dataset
+    from cuda_recommender_tpu.data.datasets import synthetic as synth
+    Rw, Tw = synth(m=mw.M, n=mw.N, nnz=mw.NNZ, seed=mw.SEED)
+    write_binary_dataset(str(tmp_path / "als_data"), Rw, Tw)
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
