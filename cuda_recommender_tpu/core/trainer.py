@@ -79,7 +79,11 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
     if cfg.phase_timing and cfg.solver == Solver.CCD:
         if mesh is not None:
             raise NotImplementedError(
-                "phase_timing is single-device (per-phase fences)")
+                "phase_timing is single-device in the trainer loop; the "
+                "sharded hybrid path has per-phase shard_map dispatches "
+                "(parallel.ccd_hybrid_sharded.make_sharded_hybrid_phase_"
+                "fns, exercised with measured rank/update times on a "
+                "2+-device mesh by tests/test_hybrid_sharded.py)")
         if backend == Backend.PALLAS:
             raise NotImplementedError(
                 "phase_timing is not implemented for the pallas backend; "

@@ -88,8 +88,7 @@ def main():
                           time.perf_counter() - t0)
         plan, plan_s = plans[key]
         rows, cols = plan.ell.rows_side, plan.ell.cols_side
-        Rds0, masks = densify_panels(plan, jnp.bfloat16, mask_dtype="nan",
-                                     block_pad=kernel)
+        masks = ()
         idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
         idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
         consts = (jnp.asarray(plan.row_nnz), jnp.asarray(plan.col_nnz),
@@ -107,9 +106,11 @@ def main():
                         s[5], s[6], *consts)
 
         W0, _ = init_factors_np(k, M, N, seed=0)
+        s = None
         for rep in range(REPEATS):
-            s = (Rds0 if rep == 0 else
-                 densify_panels(plan, jnp.bfloat16, mask_dtype="nan",
+            del s                  # free the previous repeat's ~8-13 GB of
+            s = None               # panels BEFORE densifying fresh ones
+            s = (densify_panels(plan, jnp.bfloat16, mask_dtype="nan",
                                 block_pad=kernel)[0],
                  tuple(jnp.asarray(b.val) for b in rows.buckets),
                  tuple(jnp.asarray(b.val) for b in cols.buckets),
@@ -160,7 +161,7 @@ def main():
                 "device": jax.default_backend(), "date": "2026-08",
             }
             print(json.dumps(rec), flush=True)
-        del s, Rds0
+        del s
 
 
 if __name__ == "__main__":
