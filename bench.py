@@ -52,7 +52,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 HBM_BYTES_PER_S = 819e9            # v5e spec
-GATHER_S_PER_ROW = 3.3e-9          # measured paired row-gather issue rate
+#: measured pure-sweep gather wall: 23.2 ms/rank over 5.93M padded lanes
+#: (both sides) = 3.9 ns/lane, full-consumer measurement
+#: (results/tail_floor_r4.json; the earlier 3.3 ns/row estimate was close
+#: but came from a partially DCE'd control)
+GATHER_S_PER_ROW = 3.9e-9
 
 # Fused Pallas panel kernels (ops/panel_pallas.py): update+vsweep as one RMW
 # pass + usweep as one read pass = 6 B/cell/rank at bf16 vs the XLA
@@ -163,9 +167,14 @@ def main() -> None:
         m, n, nnz, k, iters = 480_189, 17_770, 100_000_000, 40, 7
         budget = 6_500_000_000
         rdt_name, mdt_name = "bfloat16", "nan"
-        # default stair: measured headline. CRTPU_PANEL_WIDTHS=auto runs
-        # the data-driven Lagrangian stair (8 panels, tail 2.27% vs 2.76%
-        # at equal budget) for A/B runs.
+        # default stair: the measured A/B winner at THIS budget
+        # (results/sweep_netflix_hybrid_r4.jsonl): hand (4096,2048) 3.90
+        # s/iter vs the auto 8-panel stair's 4.35 at 6.5e9 — auto's 18%
+        # smaller tail (2.27% vs 2.76%) is outweighed by 6 extra panel
+        # kernel call sets per rank. (At the Config default 2e9 budget the
+        # relation flips — auto 7.6 vs hand 14.1 — hence Config defaults
+        # to "auto" while this headline pins the winner.)
+        # CRTPU_PANEL_WIDTHS=auto for A/B runs.
         wenv = os.environ.get("CRTPU_PANEL_WIDTHS")
         widths = ("auto" if wenv == "auto" else
                   tuple(int(w) for w in wenv.split(",")) if wenv else
@@ -301,9 +310,11 @@ def main() -> None:
             "vs_round1_ell_80M_upds": (round(R.nnz * k / dt / 80e6, 2)
                                        if on_tpu else None),
             "baseline_def": f"composite roofline: panels {pbytes} "
-                            "B/cell/rank @ 819 GB/s + ELL tail @ "
-                            "3.3 ns/gathered-row (reference publishes no "
-                            "numbers; convert passes unmodeled)",
+                            "B/cell/rank @ 819 GB/s + ELL tail @ the "
+                            "measured 3.9 ns/padded-lane pure-sweep gather "
+                            "wall (results/tail_floor_r4.json; reference "
+                            "publishes no numbers; convert passes "
+                            "unmodeled)",
             "device": jax.default_backend(),
             # committed measurements for the non-headline subsystems, so the
             # driver's bench record covers more than one metric (paths are

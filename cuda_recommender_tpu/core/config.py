@@ -116,11 +116,17 @@ class Config:
     #: Widths (top-item counts) of the secondary dense panels; the first
     #: panel always spans all items. The planner grid-searches the user
     #: boundaries per width to maximize covered nnz under the cell budget.
-    #: The string "auto" instead chooses widths AND boundaries jointly from
-    #: the degree distribution (Lagrangian stair search,
-    #: solvers/ccd_hybrid._auto_stair) — the data-driven default for large
-    #: matrices; tuples remain for explicit control and parity tests.
-    hybrid_panel_widths: tuple = (2048, 256)
+    #: The string "auto" chooses widths AND boundaries jointly from the
+    #: degree distribution (Lagrangian stair search,
+    #: solvers/ccd_hybrid._auto_stair) — the DEFAULT, justified by the r4
+    #: Netflix-100M A/B grid (results/sweep_netflix_hybrid_r4.jsonl): at
+    #: the default 2e9-cell budget auto covers 83.1% vs the hand stair's
+    #: 68.2% and runs 1.9x faster (7.6 vs 14.1 s/iter, k=40); at 4.2e9 it
+    #: ties. At large budgets a FEW-panel hand stair wins on dispatch
+    #: count (6.5e9: hand (4096,2048) 3.90 vs auto-8-panel 4.35 s/iter) —
+    #: bench.py pins the measured winner for its headline config; tuples
+    #: remain for explicit control and parity tests.
+    hybrid_panel_widths: tuple = "auto"
     #: Max distinct panel widths the auto stair may emit (each panel adds a
     #: scatter program + a kernel call set per rank to the traced program).
     hybrid_max_panels: int = 8

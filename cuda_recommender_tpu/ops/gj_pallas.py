@@ -38,7 +38,10 @@ UNROLL = bool(int(os.environ.get("CRTPU_GJ_UNROLL", "1")))
 # requires the lane (batch) block to stay a multiple of 128, so the fix for
 # large k is not a narrower block: it is the manual-DMA variant below, which
 # keeps A in HBM and single-buffers one augmented scratch (~8.7 MB at k=128).
-_VMEM_BUDGET = 12 * 1024 * 1024
+# 10 MB planning budget: the bs512_r8 config planned 11.2 MB by this
+# formula but the real scoped allocation hit 19 MB (double-buffering and
+# Mosaic temps beyond the model) and aborted — keep ~40% headroom.
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _pipelined_fits(k: int, bs: int, block_r: int = 0) -> bool:
@@ -101,8 +104,11 @@ def _eliminate_blocked(M_ref, W_ref, S_ref, r: int):
     dead (s_j is captured by leaving row j untouched afterwards), so each
     step updates only the strictly-future slices. Net VMEM traffic per
     k x (k+1) block drops from ~2k streams to ~2k/r + O(r) streams of the
-    full scratch plus O(k*r) small-slab work; measured at k=40 this is the
-    difference between 75 ms and ~23 ms per 165888-system solve.
+    full scratch plus O(k*r) small-slab work — but the measured end-to-end
+    outcome is NEGATIVE (results/als_gj_blocked_ab_r4.json: full ALS step
+    r0 288.8 / r4 386.6 / r8 296.7 ms/iter; the sublane-axis slab updates
+    appear to cost Mosaic more than the streaming they save), so this
+    stays an opt-in experiment (block_r / CRTPU_GJ_BLOCK_R).
 
     W_ref doubles as the current-panel-columns buffer: column j holds the
     current column until step j consumes it and overwrites it with w_j;
@@ -186,17 +192,20 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
     block multiple with identity systems (x = 0 for the pad).
 
     ``block_r``: pivots per blocked-elimination panel (_eliminate_blocked).
-    0 disables blocking (the step-at-a-time path); None picks the measured
-    default — blocked with r ~ sqrt(k) clamped to [4, 16], the traffic
-    optimum of (2k/r full-scratch streams + panel work ~ r)."""
+    0 = the step-at-a-time elimination — the DEFAULT: the blocked variant's
+    ~r/2x VMEM-traffic saving did not materialize end-to-end (ml20M k=40
+    full ALS step, group-difference: r0 288.8 / r4 386.6 / r8 296.7
+    ms/iter — results/als_gj_blocked_ab_r4.json; the panel recursion's
+    sublane-axis slicing appears to cost Mosaic more than the streaming it
+    saves, and the kernel-only sweep is tunnel-noise-dominated). Kept as
+    an opt-in experiment (CRTPU_GJ_BLOCK_R or explicit block_r)."""
     k, _, S = A_t.shape
     if block_s is None:
         block_s = BLOCK_S
     if unroll is None:
         unroll = UNROLL
     if block_r is None:
-        import math
-        block_r = max(4, min(16, 2 ** round(math.log2(max(4.0, k ** 0.5)))))
+        block_r = int(os.environ.get("CRTPU_GJ_BLOCK_R", "0"))
     block_r = min(block_r, k)
     pad = (-S) % block_s
     if pad:

@@ -39,7 +39,7 @@ def main():
     interp = jax.default_backend() == "cpu"
     if interp:
         S = 2048
-    n = 2 if interp else 10
+    n = 2 if interp else 30
     rng = np.random.default_rng(0)
     F = rng.standard_normal((k, 8, S)).astype(np.float32)
     A = jnp.asarray(np.einsum("kes,les->kls", F, F)
@@ -53,9 +53,8 @@ def main():
     # (ops/gj_pallas._eliminate_blocked) that streams the full scratch
     # k/r times instead of k.
     for bs, unroll, br in ((128, True, 0), (256, True, 0),
-                           (128, True, 4), (128, True, 8), (128, True, 16),
-                           (256, True, 4), (256, True, 8), (256, True, 16),
-                           (512, True, 8)):
+                           (128, True, 4), (256, True, 2), (256, True, 4),
+                           (256, True, 8), (512, True, 4)):
         fits = _pipelined_fits(k, bs, br)
         fn = jax.jit(lambda A, b, bs=bs, u=unroll, br=br: gj_solve_pallas_bl(
             A, b, interpret=interp, block_s=bs, unroll=u, block_r=br))

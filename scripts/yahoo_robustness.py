@@ -118,6 +118,12 @@ def run_hybrid(tag: str) -> dict:
     H_ent = np.asarray(s[4])[:, plan.item_pos]
     rmse = calrmse_np(T, W_ent, H_ent, entity_major=False)
     panel_cells = sum((r1_ - r0) * w for r0, r1_, w in plan.panels)
+    # measured-floor attribution (results/tail_floor_r4.json): panels at
+    # the 3-pass kernel HBM cost, tail at the measured pure-sweep gather
+    # wall 3.9 ns/padded-lane
+    lanes = (sum(b.idx.size for b in rows.buckets)
+             + sum(b.idx.size for b in cols.buckets))
+    floor_iter = k * (panel_cells * 6 / 819e9 + lanes * 3.9e-9)
     return {
         "workload": f"hybrid CCD++ yahoo{tag}-dims synthetic zipf "
                     f"({m}x{n}, nnz={R.nnz}), k={k}, bf16+nan"
@@ -132,6 +138,12 @@ def run_hybrid(tag: str) -> dict:
         "t1_group_samples_s": [round(x, 2) for x in t1s],
         "tG_group_samples_s": [round(x, 2) for x in tgs],
         "updates_per_s_M": round(R.nnz * k / dt / 1e6, 1),
+        "lanes_padded": int(lanes),
+        "floor_iter_s": round(floor_iter, 3),
+        "frac_of_floor": round(floor_iter / dt, 3) if dt > 0 else None,
+        "floor_def": "panels 6 B/cell/rank @ 819 GB/s + tail @ measured "
+                     "3.9 ns/padded-lane pure-sweep wall "
+                     "(results/tail_floor_r4.json)",
         "rmse_after_iters": round(rmse, 4),
         "device": jax.default_backend(),
     }
