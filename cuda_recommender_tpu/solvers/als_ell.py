@@ -206,16 +206,38 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
             # and rhs from ONE augmented self-contraction (see _gram_and_rhs),
             # in memory-bounded row groups
             from ..ops.gj_pallas import gj_solve_pallas_bl
+            interp = jax.default_backend() == "cpu"
             rows = idx_tiles[i].shape[0]
-            for r0, r1 in _row_groups(rows, b.L, b.p, k):
-                G_t, r_t = _gram_and_rhs(idx_tiles[i][r0:r1],
-                                         val_tiles[i][r0:r1], other_ext,
-                                         b, chunk, precision,
-                                         batch_last=True, augmented=True)
+            groups = _row_groups(rows, b.L, b.p, k)
+
+            def solve_group(idxg, valg):
+                G_t, r_t = _gram_and_rhs(idxg, valg, other_ext, b, chunk,
+                                         precision, batch_last=True,
+                                         augmented=True)
                 A_t = G_t + lam * eye[:, :, None]  # λ unscaled, ALS.cpp:121
-                x = gj_solve_pallas_bl(
-                    A_t, r_t, interpret=jax.default_backend() == "cpu").T
-                outs.append(x)
+                return gj_solve_pallas_bl(A_t, r_t, interpret=interp).T
+
+            if len(groups) == 1:
+                outs.append(solve_group(idx_tiles[i], val_tiles[i]))
+                continue
+            # many groups (huge sides, e.g. yahoo-r1's 2.5M-slot rows
+            # side): a Python loop of groups under ONE jit lets XLA
+            # schedule every group's ~(k+1)^2 x S_g gram temp concurrently
+            # — measured 27.3 GB requested at yahoo-r1 dims, and an
+            # explicit token-chain optimization_barrier did NOT stop it.
+            # lax.scan over the equal-size group prefix serializes by
+            # construction (one group's temps live at a time); the ragged
+            # last group runs separately.
+            g = groups[0][1]
+            nfull = rows // g
+            idxg = idx_tiles[i][:nfull * g].reshape(nfull, g, b.L)
+            valg = val_tiles[i][:nfull * g].reshape(nfull, g, b.L)
+            xs = jax.lax.map(lambda a: solve_group(a[0], a[1]),
+                             (idxg, valg))
+            outs.append(xs.reshape(nfull * g * b.p, k))
+            if rows > nfull * g:
+                outs.append(solve_group(idx_tiles[i][nfull * g:],
+                                        val_tiles[i][nfull * g:]))
             continue
         G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk,
                              precision)
