@@ -22,6 +22,14 @@ Modes, each ONE jitted program, k ranks in fori_loop, no panels:
   PDWN   PDW without the flush (lower bound: sweeps + wide remaps only)
 
 Usage: python scripts/deferred_tail_micro.py [k=40] [G=8]
+
+DCE WARNING (results/tail_floor_r4.json): modes in this script that consume
+reduction outputs through [:8]-style SLICES are partially dead-code-
+eliminated by XLA (slicing through the concatenated per-bucket outputs
+drops every bucket but the first) and their absolute numbers UNDERSTATE
+the true cost by up to 10x. Only modes that carry and return the values
+arrays, or whose outputs pass through a lax.map, measure full work. Kept
+as-is for the historical record — do not re-trust sliced-consumer numbers.
 """
 
 import json

@@ -25,6 +25,14 @@ Candidates, each ONE jitted program, k ranks in fori_loop with value deps:
         update + sweep consuming the same materialized packed tiles.
 
 Usage: python scripts/tail_restructure_micro.py [k=40]
+
+DCE WARNING (results/tail_floor_r4.json): modes in this script that consume
+reduction outputs through [:8]-style SLICES are partially dead-code-
+eliminated by XLA (slicing through the concatenated per-bucket outputs
+drops every bucket but the first) and their absolute numbers UNDERSTATE
+the true cost by up to 10x. Only modes that carry and return the values
+arrays, or whose outputs pass through a lax.map, measure full work. Kept
+as-is for the historical record — do not re-trust sliced-consumer numbers.
 """
 
 import json

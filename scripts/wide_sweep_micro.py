@@ -14,6 +14,14 @@ elementwise vals update, run k/G times (its padded gather amplification is
 128/2G instead of 64x).
 
 Usage: python scripts/wide_sweep_micro.py [k=40]
+
+DCE WARNING (results/tail_floor_r4.json): modes in this script that consume
+reduction outputs through [:8]-style SLICES are partially dead-code-
+eliminated by XLA (slicing through the concatenated per-bucket outputs
+drops every bucket but the first) and their absolute numbers UNDERSTATE
+the true cost by up to 10x. Only modes that carry and return the values
+arrays, or whose outputs pass through a lax.map, measure full work. Kept
+as-is for the historical record — do not re-trust sliced-consumer numbers.
 """
 
 import json
