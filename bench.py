@@ -8,9 +8,11 @@ padded-ELL path ran this at 80 M rating-updates/s (gather-bound). The
 bf16-residual NaN-SENTINEL stair (mask_dtype="nan": no mask array at all
 — unobserved cells hold NaN in the residual, 2 B/cell total) fits a
 6.5e9-cell stair in ~13 GB covering 97.2% of the nnz — the largest
-GOLDEN-GRADE config (bf16 residual is measured RMSE-identical through
-full convergence; the NaN encoding is bit-identical to an explicit
-mask). With the fused Pallas panel kernels (ops/panel_pallas.py — the
+CONVERGENCE-GRADE config (bf16 residual is measured RMSE-identical
+through full convergence and the NaN encoding is bit-identical to an
+explicit mask; per-entry 10% golden parity at the full 100M-nnz scale
+needs the f32 residual, which passes with 0.0000% error —
+results/golden_netflix_100m_r4.json). With the fused Pallas panel kernels (ops/panel_pallas.py — the
 update+vsweep RMW pass and the usweep read pass each touch the residual
 once instead of the XLA schedule's six reads) and the fused
 single-consumer ELL tail (ops/ell_ops.fused_update_sweep — the round-2
