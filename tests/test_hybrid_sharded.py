@@ -119,7 +119,6 @@ def test_sharded_hybrid_phase_fns_match_and_emit_line(small_data, capsys):
     the iteration line carries measured NONZERO rank/update times from the
     fenced multi-device phases — the reference's rank_time/update_time
     split (src/CCD.cpp:158) for the multi-chip path."""
-    import time
 
     import jax
     import jax.numpy as jnp
