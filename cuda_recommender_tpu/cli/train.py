@@ -105,7 +105,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "single-device or sharded)")
     p.add_argument("--defer-group", type=int, default=None, metavar="G",
                    help="hybrid ELL-tail rank-deferral group (0 disables; "
-                        "default Config.hybrid_defer_group)")
+                        "default Config.hybrid_defer_group; single-device "
+                        "hybrid only — rejected with --mesh/--mesh2d)")
     # io
     p.add_argument("data_dir", nargs="?", default=None)
     p.add_argument("--dataset", default=None,
@@ -180,6 +181,13 @@ def main(argv=None) -> int:
         import jax
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(jax.devices()[:args.mesh])
+    if mesh is not None and cfg.hybrid_defer_group > 0:
+        # ccd_hybrid_train_sharded never reads hybrid_defer_group — only the
+        # single-device path passes it to make_hybrid_outer_step. Fail loud
+        # instead of silently running the undeferred schedule (ADVICE.md r4).
+        raise SystemExit("--defer-group is single-device-only: the sharded "
+                         "hybrid path does not implement rank deferral "
+                         "(pass --defer-group 0 or drop --mesh/--mesh2d)")
 
     log = MetricsLog(cfg.metrics_file)
     result = train(cfg, R, T, mesh=mesh, log=log,

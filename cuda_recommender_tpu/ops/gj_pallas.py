@@ -206,7 +206,9 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
         unroll = UNROLL
     if block_r is None:
         block_r = int(os.environ.get("CRTPU_GJ_BLOCK_R", "0"))
-    block_r = min(block_r, k)
+    # negative -> 0 (a negative block_r would make _eliminate_blocked's
+    # range() empty and silently return the un-eliminated augmented system)
+    block_r = max(0, min(block_r, k))
     pad = (-S) % block_s
     if pad:
         eye_t = jnp.broadcast_to(jnp.eye(k, dtype=A_t.dtype)[:, :, None],

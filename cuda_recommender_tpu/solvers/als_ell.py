@@ -194,7 +194,8 @@ def _row_groups(rows: int, L: int, p: int, k: int) -> list[tuple[int, int]]:
 
 def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
                 slot_nnz, chunk: int,
-                precision=jax.lax.Precision.HIGHEST, solver: str = "gj"):
+                precision=jax.lax.Precision.HIGHEST, solver: str = "gj",
+                gj_block_r: int | None = None):
     """One ALS half-iteration over a side: x_j = (F_Ω^T F_Ω + λI)^{-1} F_Ω^T r
     for every slot, returning (n_slots, k) new factors."""
     k = other_ext.shape[1]
@@ -215,7 +216,8 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
                                          precision, batch_last=True,
                                          augmented=True)
                 A_t = G_t + lam * eye[:, :, None]  # λ unscaled, ALS.cpp:121
-                return gj_solve_pallas_bl(A_t, r_t, interpret=interp).T
+                return gj_solve_pallas_bl(A_t, r_t, interpret=interp,
+                                          block_r=gj_block_r).T
 
             if len(groups) == 1:
                 outs.append(solve_group(idx_tiles[i], val_tiles[i]))
@@ -258,7 +260,8 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
 def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
                         jit_compile: bool = True,
                         precision_name: str = "highest",
-                        solver: str = "gj"):
+                        solver: str = "gj",
+                        gj_block_r: int | None = None):
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
     prec = {"highest": jax.lax.Precision.HIGHEST,
@@ -267,9 +270,9 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
 
     def step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
         W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r,
-                        chunk, prec, solver)
+                        chunk, prec, solver, gj_block_r)
         H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c,
-                        chunk, prec, solver)
+                        chunk, prec, solver, gj_block_r)
         return W, H
 
     if not jit_compile:

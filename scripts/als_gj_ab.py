@@ -52,10 +52,16 @@ def main():
 
     out = {"k": k, "workload": "als ml20M-dims full step, group-diff"}
     GROUP = 6
-    for br in ("0", "4", "8"):
-        os.environ["CRTPU_GJ_BLOCK_R"] = br
+    for br in (0, 4, 8):
+        # block_r passed EXPLICITLY (static arg -> distinct trace-cache
+        # keys). The r4 version flipped CRTPU_GJ_BLOCK_R via os.environ
+        # in-process, but gj_solve_pallas_bl reads the env var at trace
+        # time with block_r=None as the cache key, so arms 2-3 reused
+        # arm 1's compiled program (ADVICE.md r4 #1) — the r4 artifact
+        # measured r0 three times.
         step = make_als_outer_step(ell, lam, cfg.ell_chunk,
-                                   precision_name="highest", solver="gj")
+                                   precision_name="highest", solver="gj",
+                                   gj_block_r=br)
         W, H = jnp.asarray(W_s), jnp.asarray(H_s)
         t0 = time.perf_counter()
         W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
