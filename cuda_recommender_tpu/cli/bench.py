@@ -91,6 +91,14 @@ def main(argv=None) -> int:
     p.add_argument("--lambda", dest="lam", type=float, default=0.1)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--repeats", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0,
+                   help="factor-init seed, FIXED across repeats (reference "
+                        "srand(0) discipline, src/tools.cpp:155-173; repeats "
+                        "measure run variance, not seed sensitivity)")
+    p.add_argument("--vary-seed", action="store_true",
+                   help="legacy r2-r4 behavior: seed=repeat index, so "
+                        "repeats measure seed sensitivity instead of run "
+                        "variance")
     # hybrid-backend knobs, so the grid can exercise the flagship config
     # (defaults mirror core.config.Config; bench.py's headline flavor is
     # --residual-dtype bfloat16 --mask-dtype nan --budget 6500000000
@@ -132,10 +140,12 @@ def main(argv=None) -> int:
                 if solver == "als" and inner != int(args.inners.split(",")[0]):
                     continue        # inner iters are CCD-only, like times.sh
                 for rep in range(args.repeats):
+                    seed = rep if args.vary_seed else args.seed
                     rec = run_once(R, T, Solver(solver), Backend(args.backend),
-                                   k, inner, args.lam, args.iters, seed=rep,
+                                   k, inner, args.lam, args.iters, seed=seed,
                                    cfg_extra=cfg_extra)
                     rec["repeat"] = rep
+                    rec["seed"] = seed
                     if cfg_extra:
                         rec["cfg"] = {k_: (list(v) if isinstance(v, tuple)
                                            else v)

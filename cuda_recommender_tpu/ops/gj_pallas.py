@@ -105,10 +105,11 @@ def _eliminate_blocked(M_ref, W_ref, S_ref, r: int):
     step updates only the strictly-future slices. Net VMEM traffic per
     k x (k+1) block drops from ~2k streams to ~2k/r + O(r) streams of the
     full scratch plus O(k*r) small-slab work — but the measured end-to-end
-    outcome is NEGATIVE (results/als_gj_blocked_ab_r4.json: full ALS step
-    r0 288.8 / r4 386.6 / r8 296.7 ms/iter; the sublane-axis slab updates
-    appear to cost Mosaic more than the streaming they save), so this
-    stays an opt-in experiment (block_r / CRTPU_GJ_BLOCK_R).
+    outcome is a WASH (results/als_gj_blocked_ab_r5.json: full ALS step
+    arm medians r0 297.8 / r4 287.9 / r8 293.4 ms/iter over 3 runs,
+    per-arm spread up to 40%; the r4 "negative" artifact was invalid —
+    its env-var arm switch hit the trace cache), so this stays an opt-in
+    experiment (block_r / CRTPU_GJ_BLOCK_R).
 
     W_ref doubles as the current-panel-columns buffer: column j holds the
     current column until step j consumes it and overwrites it with w_j;
@@ -192,13 +193,16 @@ def gj_solve_pallas_bl(A_t, b_t, *, interpret: bool = False,
     block multiple with identity systems (x = 0 for the pad).
 
     ``block_r``: pivots per blocked-elimination panel (_eliminate_blocked).
-    0 = the step-at-a-time elimination — the DEFAULT: the blocked variant's
-    ~r/2x VMEM-traffic saving did not materialize end-to-end (ml20M k=40
-    full ALS step, group-difference: r0 288.8 / r4 386.6 / r8 296.7
-    ms/iter — results/als_gj_blocked_ab_r4.json; the panel recursion's
-    sublane-axis slicing appears to cost Mosaic more than the streaming it
-    saves, and the kernel-only sweep is tunnel-noise-dominated). Kept as
-    an opt-in experiment (CRTPU_GJ_BLOCK_R or explicit block_r)."""
+    0 = the step-at-a-time elimination — the DEFAULT. The r4 A/B that
+    "measured blocked negative" was invalid (its env-var arm switch hit
+    the trace cache and measured r0 three times — ADVICE.md r4 #1); the
+    corrected 3-run A/B (ml20M k=40 full ALS step, group-difference,
+    block_r threaded explicitly) finds the arms statistically
+    indistinguishable: medians r0 297.8 / r4 287.9 / r8 293.4 ms/iter
+    with per-arm run-to-run spread up to 40%
+    (results/als_gj_blocked_ab_r5.json). The simpler step-at-a-time
+    kernel stays default; blocked elimination remains the tested opt-in
+    (CRTPU_GJ_BLOCK_R or explicit block_r)."""
     k, _, S = A_t.shape
     if block_s is None:
         block_s = BLOCK_S

@@ -43,32 +43,49 @@ from cuda_recommender_tpu.solvers.ccd_hybrid import (          # noqa: E402
     densify_panels, make_hybrid_outer_step, plan_hybrid)
 
 CPU = bool(os.environ.get("CRTPU_BENCH_CPU"))
-DEFER = int(os.environ.get("CRTPU_DEFER_GROUP", "8"))
+# r5: defer default 0 — the headline runs undeferred since the tail floor
+# proof (results/tail_floor_r4.json); the r4 grid ran with DEFER=8
+DEFER = int(os.environ.get("CRTPU_DEFER_GROUP", "0"))
 
+# grid rows: (k, budget_tag, widths, inner_iters)
 if CPU:
     M, N, NNZ = 6_040, 3_706, 900_000
     BUDGETS = {"small": 2_000 * 3_706}
-    GRID = [(8, "small", (256,)), (8, "small", "auto")]
+    GRID = [(8, "small", (256,), 1), (8, "small", "auto", 1)]
 else:
     M, N, NNZ = 480_189, 17_770, 100_000_000
     BUDGETS = {"2.0e9": 2_000_000_000, "4.2e9": 4_200_000_000,
                "6.5e9": 6_500_000_000}
     HAND = (4096, 2048)
     GRID = [
-        (10, "2.0e9", HAND), (10, "4.2e9", HAND), (10, "6.5e9", HAND),
-        (40, "2.0e9", HAND), (40, "4.2e9", HAND), (40, "6.5e9", HAND),
-        (40, "2.0e9", "auto"), (40, "4.2e9", "auto"), (40, "6.5e9", "auto"),
-        (100, "6.5e9", HAND), (100, "6.5e9", "auto"),
+        # rows 0-10: the r4 grid (k x budget x stair)
+        (10, "2.0e9", HAND, 1), (10, "4.2e9", HAND, 1),
+        (10, "6.5e9", HAND, 1),
+        (40, "2.0e9", HAND, 1), (40, "4.2e9", HAND, 1),
+        (40, "6.5e9", HAND, 1),
+        (40, "2.0e9", "auto", 1), (40, "4.2e9", "auto", 1),
+        (40, "6.5e9", "auto", 1),
+        (100, "6.5e9", HAND, 1), (100, "6.5e9", "auto", 1),
+        # rows 11-14: the r5 k-axis extension at the headline budget
+        # (VERDICT r4 next #5 — times.sh:5-38's k axis on the backend that
+        # matters) plus the T=7 inner-iteration row
+        (5, "6.5e9", HAND, 1), (20, "6.5e9", HAND, 1),
+        (50, "6.5e9", HAND, 1), (40, "6.5e9", HAND, 7),
     ]
 LAM = 0.05
 REPEATS = 2
 GROUP = 4 if not CPU else 2
-PAIRS = 2
+# r5: 3 pairs (r4's PAIRS=2 made the group-difference median the mean of
+# two numbers — fragile exactly when the tunnel misbehaves, VERDICT weak #4)
+PAIRS = 3
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "quick":
         grid = GRID[:2]
+    elif len(sys.argv) > 1 and sys.argv[1].startswith("rows="):
+        want = {int(x) for x in sys.argv[1][5:].split(",")}
+        grid = [g for i, g in enumerate(GRID) if i in want]
     else:
         grid = GRID
     R, T = synthetic_cached(M, N, NNZ, seed=1, test_fraction=0.02)
@@ -76,7 +93,7 @@ def main():
 
     plans = {}   # (budget_tag, widths) -> (plan, plan_s)
 
-    for k, btag, widths in grid:
+    for k, btag, widths, inner in grid:
         key = (btag, widths)
         if key not in plans:
             cfg = Config(k=40, lambda_=LAM, backend="hybrid",
@@ -96,7 +113,7 @@ def main():
                   jnp.asarray(plan.ipos_of_slot_safe),
                   jnp.asarray(plan.slot_of_upos),
                   jnp.asarray(plan.slot_of_ipos))
-        step = make_hybrid_outer_step(plan, LAM, 1,
+        step = make_hybrid_outer_step(plan, LAM, inner,
                                       residual_dtype=jnp.bfloat16,
                                       nan_mask=True, panel_kernel=kernel,
                                       defer_group=DEFER)
@@ -137,6 +154,10 @@ def main():
                 tgs.append(dg)
             dt = ((float(np.median(tgs)) - float(np.median(t1s)))
                   / (GROUP - 1))
+            pair_samples = [(g - o) / (GROUP - 1)
+                            for g, o in zip(tgs, t1s)]
+            spread_pct = (100.0 * (max(pair_samples) - min(pair_samples))
+                          / dt if dt else 0.0)
             W_ent = np.asarray(s[3])[:, plan.user_pos]
             H_ent = np.asarray(s[4])[:, plan.item_pos]
             rmse = calrmse_np(T, W_ent, H_ent, entity_major=False)
@@ -144,7 +165,7 @@ def main():
                 "dataset": f"netflix-dims synthetic zipf ({M}x{N}, "
                            f"nnz={R.nnz})",
                 "solver": "ccd", "backend": "hybrid",
-                "k": k, "inner": 1, "lambda": LAM,
+                "k": k, "inner": inner, "lambda": LAM,
                 "budget_cells": BUDGETS[btag],
                 "widths": ("auto" if widths == "auto" else list(widths)),
                 "panels": [list(p) for p in plan.panels],
@@ -154,6 +175,8 @@ def main():
                 "plan_s": round(plan_s, 1),
                 "compile_s": round(compile_s, 1),
                 "iter_s": round(dt, 3),
+                "iter_s_pair_samples": [round(x, 3) for x in pair_samples],
+                "iter_s_spread_pct": round(spread_pct, 1),
                 "rating_updates_per_s_M": round(R.nnz * k / dt / 1e6, 1),
                 "rmse_after_iters": round(rmse, 4),
                 "panel_kernel": kernel, "residual_dtype": "bfloat16",
