@@ -92,8 +92,20 @@ class Config:
     #: ALS bucket floor. Sub-128-lane buckets leave VPU/MXU lanes idle in the
     #: gram einsums; measured at ml20M k=40: width 128 is ~12% faster than 8
     #: despite 12% more padding. CCD keeps ell_min_width (gather-bound, pays
-    #: for padding directly).
-    als_min_width: int = 128
+    #: for padding directly). "auto" (the r5 default): each side picks the
+    #: largest floor in {128..8} that pads <= 1.3x that side's true nnz
+    #: (data/ell.py auto_min_width) — keeps 128 at ml20M (pads 1.12x) but
+    #: drops to 16-32 at wide geometries like yahoo-r1, whose avg user
+    #: degree of 59 made a fixed 128 floor pad 4.5x
+    #: (results/yahoo_robustness_r4.jsonl als_r1, VERDICT r4 next #3).
+    als_min_width: int | str = "auto"
+    #: per-group HBM temp budget (MB) for the grouped ALS gram assembly +
+    #: solve (solvers/als_ell._row_groups): bounds the materialized
+    #: augmented gather and batch-last gram per lax.map group. 2048 MB is
+    #: the measured ml20M sweet spot; huge low-degree sides (yahoo-r1
+    #: rows: 1.9M slots) may need less headroom when the bucket floor
+    #: shrinks (more slots per group at equal bytes).
+    als_group_mb: int = 2048
     #: ALS gram-assembly matmul precision. "highest" = true f32 (6-pass
     #: bf16 emulation on the MXU) — the golden-grade default. "high" =
     #: 3-pass bf16x3, measured ~26% faster end-to-end at ml20M k=40 with
@@ -178,8 +190,14 @@ class Config:
             raise ValueError("iteration counts must be positive")
         if self.ell_min_width & (self.ell_min_width - 1):
             raise ValueError("ell_min_width must be a power of two")
-        if self.als_min_width & (self.als_min_width - 1):
-            raise ValueError("als_min_width must be a power of two")
+        if isinstance(self.als_min_width, str):
+            if self.als_min_width != "auto":
+                raise ValueError("als_min_width must be 'auto' or a power "
+                                 f"of two, got {self.als_min_width!r}")
+        elif self.als_min_width & (self.als_min_width - 1):
+            raise ValueError("als_min_width must be 'auto' or a power of two")
+        if self.als_group_mb <= 0:
+            raise ValueError("als_group_mb must be positive")
         if self.ell_chunk < 128 or (self.ell_chunk & (self.ell_chunk - 1)):
             raise ValueError("ell_chunk must be a power of two >= 128 (it "
                              "must divide every ELL bucket width)")

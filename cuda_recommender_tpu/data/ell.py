@@ -188,6 +188,39 @@ class EllPair:
     nnz: int
 
 
+#: auto bucket-floor padding tolerance: the floor is the LARGEST ladder
+#: width whose padded-lane total stays within this factor of the true nnz.
+#: 1.3 keeps the measured ml20M winner (floor 128 pads 1.12x there, and is
+#: ~12% faster than 8 — config.als_min_width docstring) while rejecting it
+#: at yahoo-r1 dims (avg user degree 59, floor 128 pads 4.5x —
+#: results/yahoo_robustness_r4.jsonl als_r1).
+AUTO_FLOOR_TAU = 1.3
+
+
+def auto_min_width(degrees: np.ndarray, tau: float = AUTO_FLOOR_TAU) -> int:
+    """Degree-adaptive bucket floor (VERDICT r4 next #3): the largest width
+    in {128, 64, 32, 16, 8} such that flooring every nonempty entity's
+    degree at it costs <= tau x the true nnz in padded lanes. Wide buckets
+    help the ALS gram einsums (lane-packed sub-128 buckets still pay per-
+    bucket op overhead and partial MXU tiles); the cost of the floor is
+    exactly the padded lanes, so choose from the degree distribution."""
+    deg = np.asarray(degrees, dtype=np.int64)
+    deg = deg[deg > 0]
+    if deg.size == 0:
+        return 8
+    s = float(deg.sum())
+    for w in (128, 64, 32, 16):
+        if float(np.maximum(deg, w).sum()) <= tau * s:
+            return w
+    return 8
+
+
+def _resolve_min_width(min_width, degrees: np.ndarray) -> int:
+    if min_width == "auto":
+        return auto_min_width(degrees)
+    return int(min_width)
+
+
 def _plan_buckets(degrees: np.ndarray, min_width: int,
                   max_buckets: int = MAX_BUCKETS):
     """Group entity ids into <= max_buckets degree buckets whose widths are
@@ -217,8 +250,16 @@ def _build_side(ptr: np.ndarray, n_entities: int, *, min_width: int,
     fill pass). ``alloc=False`` skips the (rows, L) bucket allocations —
     geometry only, from the tiny ptr array alone; used by the host-local
     shard loader (data/shard_loader.py) where no process may hold full
-    nnz-scale arrays."""
+    nnz-scale arrays.
+
+    ``min_width`` may be the string "auto": the floor is then chosen from
+    THIS side's degree distribution (auto_min_width) — each orientation
+    gets its own floor (yahoo-r1's 1.9M avg-degree-59 users want 16-32
+    while its 98k avg-degree-1171 items are indifferent). Deterministic
+    from the ptr array alone, so plan_ell_pair/shard-loader geometry and
+    build_ell_pair resolve identically."""
     deg = np.diff(ptr).astype(np.int64)
+    min_width = _resolve_min_width(min_width, deg)
     plan, empty = _plan_buckets(deg, min_width)
 
     buckets_meta = []   # (E, p, rows_per_shard, per-shard entity grid (num_shards, slots_ps))

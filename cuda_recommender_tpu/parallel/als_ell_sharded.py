@@ -33,20 +33,23 @@ from .mesh import AXIS, ell_shardings
 
 def make_sharded_als_step(ell: EllPair, mesh: Mesh, lam: float, chunk: int,
                           axis: str = AXIS, solver: str = "gj",
-                          precision_name: str = "highest"):
+                          precision_name: str = "highest",
+                          group_bytes: int | None = None):
     rows, cols = ell.rows_side.local_view(), ell.cols_side.local_view()
     lam_ = jnp.float32(lam)
     prec = (jax.lax.Precision.HIGHEST if precision_name == "highest"
             else jax.lax.Precision.DEFAULT)
+    from ..solvers.als_ell import GROUP_TEMP_BYTES
+    gb = GROUP_TEMP_BYTES if group_bytes is None else group_bytes
 
     def gather_table(F_loc):
         return extend_zero(jax.lax.all_gather(F_loc, axis, axis=0, tiled=True))
 
     def step_local(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
         W = _solve_side(idx_r, vals_r, rows, gather_table(H), lam_, nnz_r,
-                        chunk, prec, solver)
+                        chunk, prec, solver, None, gb)
         H = _solve_side(idx_c, vals_c, cols, gather_table(W), lam_, nnz_c,
-                        chunk, prec, solver)
+                        chunk, prec, solver, None, gb)
         return W, H
 
     nb_r, nb_c = len(rows.buckets), len(cols.buckets)
@@ -99,7 +102,8 @@ def als_ell_train_sharded(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     step = make_sharded_als_step(ell, mesh, cfg.lambda_, cfg.ell_chunk,
                                  solver=cfg.als_solver,
-                                 precision_name=cfg.als_precision)
+                                 precision_name=cfg.als_precision,
+                                 group_bytes=cfg.als_group_mb << 20)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=True,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

@@ -186,16 +186,18 @@ def _solve_kxk(A, r, solver: str):
 GROUP_TEMP_BYTES = 2 << 30
 
 
-def _row_groups(rows: int, L: int, p: int, k: int) -> list[tuple[int, int]]:
+def _row_groups(rows: int, L: int, p: int, k: int,
+                group_bytes: int = GROUP_TEMP_BYTES) -> list[tuple[int, int]]:
     per_row = max(L * (k + 1) * 4, p * (k + 1) * (k + 1) * 4)
-    g = max(1, min(rows, GROUP_TEMP_BYTES // max(1, per_row)))
+    g = max(1, min(rows, group_bytes // max(1, per_row)))
     return [(r0, min(rows, r0 + g)) for r0 in range(0, rows, g)]
 
 
 def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
                 slot_nnz, chunk: int,
                 precision=jax.lax.Precision.HIGHEST, solver: str = "gj",
-                gj_block_r: int | None = None):
+                gj_block_r: int | None = None,
+                group_bytes: int = GROUP_TEMP_BYTES):
     """One ALS half-iteration over a side: x_j = (F_Ω^T F_Ω + λI)^{-1} F_Ω^T r
     for every slot, returning (n_slots, k) new factors."""
     k = other_ext.shape[1]
@@ -209,7 +211,7 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
             from ..ops.gj_pallas import gj_solve_pallas_bl
             interp = jax.default_backend() == "cpu"
             rows = idx_tiles[i].shape[0]
-            groups = _row_groups(rows, b.L, b.p, k)
+            groups = _row_groups(rows, b.L, b.p, k, group_bytes)
 
             def solve_group(idxg, valg):
                 G_t, r_t = _gram_and_rhs(idxg, valg, other_ext, b, chunk,
@@ -261,7 +263,8 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
                         jit_compile: bool = True,
                         precision_name: str = "highest",
                         solver: str = "gj",
-                        gj_block_r: int | None = None):
+                        gj_block_r: int | None = None,
+                        group_bytes: int = GROUP_TEMP_BYTES):
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
     prec = {"highest": jax.lax.Precision.HIGHEST,
@@ -270,9 +273,9 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
 
     def step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
         W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r,
-                        chunk, prec, solver, gj_block_r)
+                        chunk, prec, solver, gj_block_r, group_bytes)
         H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c,
-                        chunk, prec, solver, gj_block_r)
+                        chunk, prec, solver, gj_block_r, group_bytes)
         return W, H
 
     if not jit_compile:
@@ -316,7 +319,8 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
 
     step_fn = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk,
                                   precision_name=cfg.als_precision,
-                                  solver=cfg.als_solver)
+                                  solver=cfg.als_solver,
+                                  group_bytes=cfg.als_group_mb << 20)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=True,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

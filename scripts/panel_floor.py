@@ -157,9 +157,13 @@ def main():
                      "group-difference timing"}
 
     for pname, (Mp, Wp) in (("p1", P1), ("p2", P2)):
-        Rd0 = jnp.asarray(
-            (rng.standard_normal((Mp, Wp)) * 1e-3).astype(np.float32)
-        ).astype(jnp.bfloat16)
+        # DEVICE-side panel synthesis: a host-side 6e9-element normal would
+        # cost ~49 GB of host RAM and a 24 GB tunnel transfer; kernel cost
+        # is value-independent, so generate on-chip
+        Rd0 = jax.jit(
+            lambda key, s=(Mp, Wp): (jax.random.normal(key, s, jnp.float32)
+                                     * 1e-3).astype(jnp.bfloat16)
+        )(jax.random.key(0))
         u = jnp.asarray(rng.standard_normal(Mp) * 1e-3, jnp.float32)
         v = jnp.asarray(rng.standard_normal(Wp) * 1e-3, jnp.float32)
         cells = Mp * Wp

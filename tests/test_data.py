@@ -248,3 +248,45 @@ def test_synthetic_spec_cache_roundtrip(tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="cache=1"):
         datasets.synthetic_from_spec("synthetic:m=6,n=4,nnz=3,noise=0.5,cache=1")
+
+
+def test_auto_min_width_degree_adaptive():
+    """auto_min_width (VERDICT r4 next #3): keeps the wide 128 floor when
+    degrees support it (ml20M-like, avg ~144) and drops to a narrow floor
+    on wide low-degree geometries (yahoo-r1-like, avg ~59 zipf), bounding
+    padded lanes at <= 1.3x nnz by construction."""
+    from cuda_recommender_tpu.data.ell import AUTO_FLOOR_TAU, auto_min_width
+    rng = np.random.default_rng(3)
+    heavy = rng.zipf(1.35, size=20_000).clip(max=30_000).astype(np.int64)
+    heavy = heavy[heavy >= 40] + 100          # avg well above 128
+    assert auto_min_width(heavy) == 128
+    light = rng.zipf(1.6, size=50_000).clip(max=20_000).astype(np.int64)
+    w = auto_min_width(light)                 # heavy tail of 1s and 2s
+    assert w < 128
+    pad = np.maximum(light[light > 0], w).sum()
+    assert pad <= AUTO_FLOOR_TAU * light[light > 0].sum()
+    assert auto_min_width(np.zeros(5, np.int64)) == 8
+
+
+def test_build_ell_pair_auto_floor_per_side():
+    """min_width='auto' resolves per side from that side's degrees and the
+    layout stays consistent (fill invariants hold, golden zero-slot rules
+    intact)."""
+    from cuda_recommender_tpu.data.ell import build_ell_pair
+    rng = np.random.default_rng(5)
+    m, n, nnz = 800, 40, 12_000               # jester-shaped: tiny n
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    key = rows.astype(np.int64) * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    R = from_coo(m, n, rows[uniq], cols[uniq], vals[uniq])
+    pair = build_ell_pair(R, min_width="auto")
+    # users side: avg degree ~ nnz/m ~ 15 -> narrow floor; items side:
+    # avg degree ~ nnz/n ~ 300 -> keeps the wide floor
+    assert min(b.E for b in pair.rows_side.buckets) < 128
+    assert min(b.E for b in pair.cols_side.buckets) >= 128
+    # padded lanes within the tau bound on the constrained side
+    lanes = sum(b.idx.size for b in pair.rows_side.buckets)
+    assert lanes <= 1.3 * R.nnz + sum(
+        b.p * b.E * 8 for b in pair.rows_side.buckets)
