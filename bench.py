@@ -66,10 +66,14 @@ GATHER_S_PER_ROW = 3.9e-9
 #: IDEAL one keeps the sweeps-only 3.9 ns/lane wall.
 GATHER_MAINT_S_PER_ROW = 6.5e-9
 #: measured achievable panel stream rate for the REAL kernels at the
-#: headline stair shapes (results/panel_floor_r5.json) — replaces the 819
-#: GB/s spec in the ACHIEVABLE roofline. None until the r5 panel floor
-#: measurement lands; falls back to spec.
-PANEL_ACHIEVED_BYTES_PER_S = None
+#: headline stair shapes (results/panel_floor_r5.json): total panel bytes
+#: per rank / measured kernel time = 40.22 GB / 59.31 ms = 678 GB/s. The
+#: r5 floor attribution shows this IS the wall, not kernel slack: a pure
+#: read stream hits 819.7 GB/s (100.1% of spec) but a minimal RMW control
+#: with no compute at all achieves only 669.7 GB/s (81.8%) at the same
+#: block shape — the update kernel runs within 4.4% of that control and
+#: the usweep within 6% of the read control.
+PANEL_ACHIEVED_BYTES_PER_S = 678e9
 
 # Fused Pallas panel kernels (ops/panel_pallas.py): update+vsweep as one RMW
 # pass + usweep as one read pass = 6 B/cell/rank at bf16 vs the XLA

@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the hybrid backend's dense panels through the "
                         "fused Pallas kernels (requires --mask-dtype nan; "
                         "single-device or sharded)")
+    p.add_argument("--transpose-stair", default=None, metavar="0|1|auto",
+                   dest="transpose_stair",
+                   help="hybrid stair orientation: 1 plans panels over top-"
+                        "ITEMS x user prefixes (the transposed matrix), "
+                        "'auto' geometry-plans both and keeps the smaller "
+                        "uncovered tail (single-device hybrid only)")
     p.add_argument("--defer-group", type=int, default=None, metavar="G",
                    help="hybrid ELL-tail rank-deferral group (0 disables; "
                         "default Config.hybrid_defer_group; single-device "
@@ -164,6 +170,9 @@ def main(argv=None) -> int:
         cfg.hybrid_dense_cells = int(args.hybrid_cells)
     if args.defer_group is not None:
         cfg.hybrid_defer_group = int(args.defer_group)
+    if args.transpose_stair is not None:
+        cfg.hybrid_transpose = ("auto" if args.transpose_stair == "auto"
+                                else bool(int(args.transpose_stair)))
     if args.panel_widths is not None:
         cfg.hybrid_panel_widths = (
             "auto" if args.panel_widths == "auto" else

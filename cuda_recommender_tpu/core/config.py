@@ -99,6 +99,17 @@ class Config:
     #: degree of 59 made a fixed 128 floor pad 4.5x
     #: (results/yahoo_robustness_r4.jsonl als_r1, VERDICT r4 next #3).
     als_min_width: int | str = "auto"
+    #: hybrid stair orientation (VERDICT r4 next #4). False = the classic
+    #: stair (panels over top-USERS x item prefixes). True = plan and run
+    #: on the TRANSPOSED matrix (panels over top-items x user prefixes) —
+    #: covers more nnz at equal budget when the item marginal is flatter
+    #: than the user marginal (yahoo-c15: 1M x 625k, 42.2% tail under the
+    #: classic stair). "auto" = geometry-plan BOTH orientations and keep
+    #: the one with the smaller uncovered tail (costs one extra plan pass,
+    #: no device work). Transposed runs seed the ITEM side and sweep users
+    #: first — the same CCD++ family on R^T; golden parity is against the
+    #: reference run on the transposed problem. Single-device hybrid only.
+    hybrid_transpose: bool | str = False
     #: per-group HBM temp budget (MB) for the grouped ALS gram assembly +
     #: solve (solvers/als_ell._row_groups): bounds the materialized
     #: augmented gather and batch-last gram per lax.map group. 2048 MB is
@@ -198,6 +209,9 @@ class Config:
             raise ValueError("als_min_width must be 'auto' or a power of two")
         if self.als_group_mb <= 0:
             raise ValueError("als_group_mb must be positive")
+        if self.hybrid_transpose not in (False, True, "auto"):
+            raise ValueError("hybrid_transpose must be False, True or "
+                             f"'auto', got {self.hybrid_transpose!r}")
         if self.ell_chunk < 128 or (self.ell_chunk & (self.ell_chunk - 1)):
             raise ValueError("ell_chunk must be a power of two >= 128 (it "
                              "must divide every ELL bucket width)")

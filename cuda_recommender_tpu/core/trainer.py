@@ -117,6 +117,10 @@ def _run_compiled(cfg: Config, backend: Backend, R, W0, H0, T, log,
         return ccd_pallas_train(R, W0, H0, T, cfg, **kw)
     if backend == Backend.HYBRID:
         if mesh is not None:
+            if cfg.hybrid_transpose:
+                raise NotImplementedError(
+                    "hybrid_transpose is single-device-only (the sharded "
+                    "hybrid plans the classic user-axis stair)")
             from ..parallel.ccd_hybrid_sharded import ccd_hybrid_train_sharded
             return ccd_hybrid_train_sharded(R, W0, H0, T, cfg, mesh, **kw)
         from ..solvers.ccd_hybrid import ccd_hybrid_train
@@ -253,7 +257,23 @@ def train(cfg: Config, R: RatingMatrix, T: TestCOO, *,
     if cfg.golden:
         log.info("[INFO] Computing with reference (golden) backend...")
         t0 = time.perf_counter()
-        W_ref, H_ref, ref_stats = _run_reference(cfg, R, W0, H0, T, log)
+        if (backend == Backend.HYBRID and cfg.solver == Solver.CCD
+                and cfg.hybrid_transpose and mesh is None):
+            # transposed stair: the compiled run solved R^T with the item
+            # side seeded — golden parity is against the reference on the
+            # SAME transposed problem (solvers/ccd_hybrid.py docstring)
+            from ..data.sparse import make_test
+            from ..solvers.ccd_hybrid import resolve_hybrid_transpose
+            if resolve_hybrid_transpose(R, cfg):
+                Tt = make_test(T.cols, T.rows, T.col_idx, T.row_idx, T.val)
+                Wt, Ht, ref_stats = _run_reference(
+                    cfg, R.transpose(), H0, W0, Tt, log)
+                W_ref, H_ref = Ht, Wt
+            else:
+                W_ref, H_ref, ref_stats = _run_reference(cfg, R, W0, H0, T,
+                                                         log)
+        else:
+            W_ref, H_ref, ref_stats = _run_reference(cfg, R, W0, H0, T, log)
         log.info("[info] ref Training time: %f s." % (time.perf_counter() - t0))
         result.ref_stats = ref_stats
         result.ref_final_rmse = calrmse_np(T, W_ref, H_ref,

@@ -66,7 +66,7 @@ import numpy as np
 
 from ..core.config import Config
 from ..data.ell import EllPair, build_ell_pair
-from ..data.sparse import RatingMatrix, TestCOO, from_coo
+from ..data.sparse import RatingMatrix, TestCOO, from_coo, make_test
 from ..eval.metrics import calrmse_device, default_eval_chunk
 from ..native.groupsort import key_count, perm_gather, stable_perm
 from ..ops.densify import densify_coo
@@ -305,6 +305,22 @@ def _auto_stair(rp: np.ndarray, cp: np.ndarray, m: int, n: int,
         if r1 > r0:
             panels.append((int(r0), int(r1), int(ladder[j])))
     return panels
+
+
+def resolve_hybrid_transpose(R: RatingMatrix, cfg: Config) -> bool:
+    """Resolve cfg.hybrid_transpose to a concrete orientation. "auto"
+    geometry-plans BOTH orientations (no dense materialization, no device
+    work) and picks the smaller uncovered tail — the tail's padded-lane
+    gather wall (results/tail_floor_r4.json) dominates the marginal panel
+    cost, so min nnz_light is the right objective at equal budget."""
+    if not cfg.hybrid_transpose:
+        return False
+    if cfg.hybrid_transpose is True:
+        return True
+    cfg_nt = dataclasses.replace(cfg, hybrid_transpose=False)
+    plan_n = plan_hybrid(R, cfg_nt, materialize_dense=False)
+    plan_t = plan_hybrid(R.transpose(), cfg_nt, materialize_dense=False)
+    return plan_t.nnz_light < plan_n.nnz_light
 
 
 def plan_hybrid(R: RatingMatrix, cfg: Config, *,
@@ -971,7 +987,31 @@ def ccd_hybrid_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     (W, H, stats) in the reference's rank-major ORIGINAL entity order.
     Checkpoint payloads carry every panel residual, both ELL residual value
     sets, the factors (sorted order) and the pending outer product — all of
-    it training state (src/CCD.cpp:100-134)."""
+    it training state (src/CCD.cpp:100-134).
+
+    ``cfg.hybrid_transpose`` (VERDICT r4 next #4): True runs the SAME
+    solver on R^T — the stair covers top-items x user prefixes, the item
+    side carries the seeded factors and users are swept first; factors
+    swap back on return, so the caller contract is unchanged. "auto"
+    geometry-plans both orientations and keeps the smaller tail. The
+    transposed trajectory equals the reference run on the transposed
+    problem (tested), not the untransposed one."""
+    if plan is None and cfg.hybrid_transpose:
+        cfg_nt = dataclasses.replace(cfg, hybrid_transpose=False)
+        use_t, plan_n, plan_t = True, None, None
+        if cfg.hybrid_transpose == "auto":
+            plan_n = plan_hybrid(R, cfg_nt, materialize_dense=False)
+            plan_t = plan_hybrid(R.transpose(), cfg_nt,
+                                 materialize_dense=False)
+            use_t = plan_t.nnz_light < plan_n.nnz_light
+        if use_t:
+            Tt = make_test(T.cols, T.rows, T.col_idx, T.row_idx, T.val)
+            Wt, Ht, stats = ccd_hybrid_train(
+                R.transpose(), H0, W0, Tt, cfg_nt, callback=callback,
+                plan=plan_t, ckpt_every=ckpt_every, ckpt_fn=ckpt_fn,
+                resume=resume, rank_callback=rank_callback)
+            return Ht, Wt, stats
+        plan = plan_n
     if plan is None:
         plan = plan_hybrid(R, cfg, materialize_dense=False)
     rows, cols = plan.ell.rows_side, plan.ell.cols_side

@@ -363,3 +363,47 @@ def test_hybrid_defer_group_equivalent(small_data, defer, inner):
     np.testing.assert_allclose(H_b, H_a, rtol=1e-3, atol=1e-4)
     for a, b in zip(st_a, st_b):
         assert abs(a.rmse - b.rmse) < 1e-4
+
+
+def test_hybrid_transpose_golden(small_data):
+    """hybrid_transpose=True solves R^T with the item side seeded — the
+    trajectories must match the golden reference run on the TRANSPOSED
+    problem exactly (VERDICT r4 next #4; same dual-backend discipline,
+    orientation flipped)."""
+    from cuda_recommender_tpu.data.sparse import make_test
+    R, T = small_data
+    W0, H0 = init_factors_np(K, R.rows, R.cols, seed=0)
+    cfg = Config(k=K, maxiter=3, maxinneriter=1, lambda_=0.1,
+                 backend="hybrid", hybrid_dense_cells=100 * 120,
+                 hybrid_panel_widths=(32, 16), hybrid_transpose=True)
+    W, H, stats = ccd_hybrid_train(R, W0.copy(), H0.copy(), T, cfg)
+    assert W.shape == (K, R.rows) and H.shape == (K, R.cols)
+    # reference on the transposed problem: item side seeded with H0
+    Tt = make_test(T.cols, T.rows, T.col_idx, T.row_idx, T.val)
+    Wt, Ht = H0.copy(), W0.copy()
+    stats_r = ccd_reference(R.transpose(), Wt, Ht, Tt, lambda_=0.1,
+                            maxiter=3, maxinneriter=1)
+    _assert_matches(W, H, stats, Ht, Wt, stats_r)
+
+
+def test_hybrid_transpose_auto_picks_small_tail():
+    """'auto' keeps the orientation with the smaller uncovered tail: with
+    zipf ITEM degrees and flat user degrees, the top-item stair covers far
+    more nnz at equal budget than the classic top-user stair."""
+    from cuda_recommender_tpu.data.sparse import from_coo
+    from cuda_recommender_tpu.solvers.ccd_hybrid import (
+        resolve_hybrid_transpose)
+    rng = np.random.default_rng(11)
+    m, n, nnz = 600, 400, 20_000
+    rows = rng.integers(0, m, nnz)                      # flat users
+    cols = (rng.zipf(1.3, nnz) - 1) % n                 # zipf items
+    key = rows * n + cols
+    _, u = np.unique(key, return_index=True)
+    R = from_coo(m, n, rows[u].astype(np.int32), cols[u].astype(np.int32),
+                 rng.standard_normal(u.size).astype(np.float32))
+    cfg = Config(backend="hybrid", hybrid_dense_cells=30_000,
+                 hybrid_panel_widths="auto", hybrid_transpose="auto")
+    assert resolve_hybrid_transpose(R, cfg) is True
+    # and the symmetric case prefers the classic stair
+    Rt = R.transpose()
+    assert resolve_hybrid_transpose(Rt, cfg) is False
