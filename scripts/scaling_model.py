@@ -32,13 +32,23 @@ the break-even bandwidth at which efficiency would drop below 80%.
 import json
 
 M, N_ITEMS, NNZ, K = 480_189, 17_770, 100_000_000, 40
-PANEL_CELLS = 6_500_000_000          # headline NaN-sentinel stair
-PANEL_B_PER_CELL_RANK = 12           # bf16 NaN-sentinel XLA path (bench.py)
-HBM = 819e9                          # v5e
-GATHER_S_PER_ROW = 3.3e-9            # measured paired row-gather rate
-TAIL_PAD = 1.08                      # measured post-ladder padding (~1.05/1.10)
-TAIL_NNZ = 2_763_374                 # headline plan nnz_light
-MEASURED_ITER_S = 6.36               # 628.7 M upd/s single-chip measurement
+# --- r5 re-anchoring (VERDICT r4 next #8) ---
+# The r2 model ran the XLA panel path (12 B/cell @ 819 GB/s spec) anchored
+# to the 6.36 s pooled-timing measurement. The r5 terms are the PROVEN
+# walls: fused Pallas panel kernels at 6 B/cell over the PADDED stair at
+# the measured 678 GB/s achievable RMW rate (results/panel_floor_r5.json)
+# and the ELL tail at the 6.5 ns/padded-lane residual-maintaining wall
+# (results/tail_floor_r4.json), anchored to the r4 driver headline.
+# The collective schedule the comm term models (2 fused psums per rank,
+# static count flat in N) is validated against compiled HLO in
+# results/scaling_collectives_r5.json.
+PANEL_CELLS = 6_704_394_240          # block-PADDED (4096,2048) stair cells
+PANEL_B_PER_CELL_RANK = 6            # fused kernel path (bench.py)
+HBM = 678e9                          # measured achievable panel RMW rate
+GATHER_S_PER_ROW = 6.5e-9            # residual-maintaining tail wall
+TAIL_PAD = 1.073                     # measured plan pad (tail_floor_r4)
+TAIL_NNZ = 2_763_221                 # headline plan nnz_light
+MEASURED_ITER_S = 3.97               # BENCH_r04 driver headline
 ICI_GBPS = 45e9                      # conservative per-device all-reduce rate
 PSUM_LATENCY_S = 15e-6               # per small collective
 
