@@ -53,10 +53,18 @@ if CPU:
              "c15": (1_000, 625, 100_000, 60_000)}
 
 
-def run_hybrid(tag: str) -> dict:
+def run_hybrid(tag: str, transpose: bool = False) -> dict:
     m, n, nnz, budget = SPECS[tag]
     k, lam = 40 if not CPU else 8, 0.05
     R, T = synthetic_cached(m, n, nnz, seed=11, test_fraction=0.02)
+    if transpose:
+        # r5 transposed-stair A/B (VERDICT r4 next #4): plan panels over
+        # top-ITEMS x user prefixes by solving the transposed problem —
+        # same timing discipline, orientation flipped
+        from cuda_recommender_tpu.data.sparse import make_test
+        R = R.transpose()
+        m, n = n, m
+        T = make_test(T.cols, T.rows, T.col_idx, T.row_idx, T.val)
 
     from cuda_recommender_tpu.solvers.ccd_hybrid import (
         densify_panels, make_hybrid_outer_step, plan_hybrid)
@@ -124,10 +132,19 @@ def run_hybrid(tag: str) -> dict:
     lanes = (sum(b.idx.size for b in rows.buckets)
              + sum(b.idx.size for b in cols.buckets))
     floor_iter = k * (panel_cells * 6 / 819e9 + lanes * 3.9e-9)
+    # achievable composite floor (r5): padded panel cells at the measured
+    # 678 GB/s kernel RMW rate + tail at the 6.5 ns/lane maintenance wall
+    from cuda_recommender_tpu.ops.panel_pallas import padded_panel_shape
+    padded_cells = sum(int(np.prod(padded_panel_shape(r1_ - r0, w)))
+                      for r0, r1_, w in plan.panels) if kernel else panel_cells
+    achv_iter = k * (padded_cells * 6 / 678e9 + lanes * 6.5e-9)
     return {
         "workload": f"hybrid CCD++ yahoo{tag}-dims synthetic zipf "
                     f"({m}x{n}, nnz={R.nnz}), k={k}, bf16+nan"
-                    + (", panel kernels" if kernel else ""),
+                    + (", panel kernels" if kernel else "")
+                    + (", TRANSPOSED stair (top-items x user prefixes)"
+                       if transpose else ""),
+        "transposed_stair": transpose,
         "panels": [list(p) for p in plan.panels],
         "n_panels": len(plan.panels),
         "panel_cells": int(panel_cells),
@@ -144,6 +161,12 @@ def run_hybrid(tag: str) -> dict:
         "floor_def": "panels 6 B/cell/rank @ 819 GB/s + tail @ measured "
                      "3.9 ns/padded-lane pure-sweep wall "
                      "(results/tail_floor_r4.json)",
+        "achievable_floor_iter_s": round(achv_iter, 3),
+        "frac_of_achievable": (round(achv_iter / dt, 3) if dt > 0
+                               else None),
+        "achievable_def": "PADDED panel cells @ measured 678 GB/s kernel "
+                          "RMW rate (results/panel_floor_r5.json) + tail "
+                          "@ 6.5 ns/lane maintenance wall",
         "rmse_after_iters": round(rmse, 4),
         "device": jax.default_backend(),
     }
@@ -155,7 +178,12 @@ def run_als_r1() -> dict:
     R, T = synthetic_cached(m, n, nnz, seed=11, test_fraction=0.02)
     from cuda_recommender_tpu.data.ell import build_ell_pair
     from cuda_recommender_tpu.solvers.als_ell import make_als_outer_step
-    cfg = Config(solver="als", k=k, lambda_=lam)
+    # r5: als_min_width defaults to "auto" — the degree-adaptive floor the
+    # r4 artifact asked for (avg user degree 59 vs the old fixed 128);
+    # als_group_mb override via env for headroom experiments
+    cfg = Config(solver="als", k=k, lambda_=lam,
+                 als_group_mb=int(os.environ.get("CRTPU_ALS_GROUP_MB",
+                                                 "2048")))
     ell = build_ell_pair(R, min_width=cfg.als_min_width, num_shards=1)
     rows, cols = ell.rows_side, ell.cols_side
     idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
@@ -171,7 +199,8 @@ def run_als_r1() -> dict:
     nnz_r = jnp.asarray(rows.slot_nnz)
     nnz_c = jnp.asarray(cols.slot_nnz)
     step = make_als_outer_step(ell, lam, cfg.ell_chunk,
-                               precision_name="highest", solver="gj")
+                               precision_name="highest", solver="gj",
+                               group_bytes=cfg.als_group_mb << 20)
     t0 = time.perf_counter()
     W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
     _ = np.asarray(W).sum()
@@ -199,6 +228,12 @@ def run_als_r1() -> dict:
     return {
         "workload": f"ALS yahoor1-dims synthetic zipf ({m}x{n}, "
                     f"nnz={R.nnz}), k={k}, GJ solve, precision HIGHEST",
+        "min_width": ("auto" if cfg.als_min_width == "auto"
+                      else int(cfg.als_min_width)),
+        "resolved_floors": {"rows": min(b.E for b in rows.buckets),
+                            "cols": min(b.E for b in cols.buckets)},
+        "als_group_mb": cfg.als_group_mb,
+        "pad_factor_vs_nnz": round(lanes / (2 * R.nnz), 3),
         "lanes_padded": int(lanes),
         "compile_s": round(compile_s, 1),
         "iter_s": round(dt, 3),
@@ -212,8 +247,11 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     jobs = {"r1": lambda: run_hybrid("r1"),
             "c15": lambda: run_hybrid("c15"),
+            "c15_t": lambda: run_hybrid("c15", transpose=True),
+            "r1_t": lambda: run_hybrid("r1", transpose=True),
             "als_r1": run_als_r1}
-    names = list(jobs) if which == "all" else [which]
+    names = (["r1", "c15", "als_r1"] if which == "all" else
+             which.split(","))
     for name in names:
         rec = jobs[name]()
         rec["name"] = name
