@@ -111,6 +111,21 @@ def _eliminate_blocked(M_ref, W_ref, S_ref, r: int):
     its env-var arm switch hit the trace cache), so this stays an opt-in
     experiment (block_r / CRTPU_GJ_BLOCK_R).
 
+    ACCURACY (r5 finding, tests/test_pallas.py
+    test_gj_blocked_elimination_correctness): the composed update is NOT
+    accuracy-grade on large-magnitude grams. The final
+    ``M -= sum_j w_j (x) s_j`` reconstructs the O(1)-sized eliminated
+    panel rows by cancelling O(|M|)-sized terms — at gram diagonals ~3e4
+    (an ALS item side with tens of thousands of ratings per item) the
+    blocked path keeps only ~1-3 digits (up to ~30% relative error
+    observed at k=16, r=5) while the step-at-a-time default computes
+    prow = row/d directly with no cancellation and stays ~1e-6 on the
+    SAME systems. Measured consequence: jester-dims ALS with
+    CRTPU_GJ_BLOCK_R set converges to ~0.43 RMSE instead of the golden
+    0.185. Do not enable blocked elimination where factors feed back
+    (ALS outer iterations); it is only safe for throwaway throughput
+    experiments on normalized systems.
+
     W_ref doubles as the current-panel-columns buffer: column j holds the
     current column until step j consumes it and overwrites it with w_j;
     updates only touch columns > j, which still hold current columns.

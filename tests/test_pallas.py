@@ -135,3 +135,50 @@ def test_panel_kernels_match_numpy(rng):
                                        rtol=2e-5, atol=2e-4)
             np.testing.assert_allclose(np.asarray(hu), mf @ (vo * vo),
                                        rtol=2e-5, atol=2e-4)
+
+
+def test_gj_blocked_elimination_correctness(rng):
+    """block_r > 0 (the opt-in blocked elimination) vs NumPy on SPD
+    systems, including ragged panel splits (k not a multiple of block_r)
+    and large-magnitude grams like the ALS item side produces (diag ~3e4
+    with lambda ~0.1). Round-4 shipped this path with NO correctness
+    test; the r5 investigation (results/als_gj_blocked_ab_r5.json) found
+    it loses digits catastrophically on large-magnitude grams (up to
+    ~30% relative at diag ~3e4, vs the default path's ~1e-6 on the SAME
+    systems): the composed panel update reconstructs the O(1) eliminated
+    panel rows by cancelling O(scale) terms. The large-scale bars here
+    are sanity-only (<1.0); the accuracy claim being tested is that the
+    DEFAULT r0 path stays exact where blocked does not, and that blocked
+    is structurally correct (tight bar) on normalized grams."""
+    from cuda_recommender_tpu.ops.gj_pallas import gj_solve_pallas_bl
+
+    interp = jax.default_backend() == "cpu"
+    # (k, gram scale, acceptable max relative error). The large-scale bars
+    # are LOOSE by design: the composed panel update reconstructs the
+    # O(1)-sized eliminated panel rows by cancelling O(scale) terms, so at
+    # diag ~3e4 the blocked path keeps only ~2-3 digits — the documented
+    # reason it is not accuracy-grade (gj_pallas.py docstring). The
+    # scale-1 bars are tight and catch structural breakage.
+    for k, scale, bar in [(10, 1.0, 2e-3), (40, 1.0, 2e-3),
+                          (10, 3e4, 1.0), (16, 3e4, 1.0)]:
+        for br in (2, 5, 8):
+            S = 100
+            F = rng.normal(size=(S, k, 2 * k)).astype(np.float32)
+            A = (np.einsum("sij,skj->sik", F, F) / (2 * k) * scale
+                 + 0.1 * np.eye(k, dtype=np.float32))
+            b = rng.normal(size=(S, k)).astype(np.float32)
+            x = np.asarray(gj_solve_pallas_bl(
+                jnp.asarray(A.transpose(1, 2, 0)), jnp.asarray(b.T),
+                interpret=interp, block_r=br)).T
+            ref = np.linalg.solve(A, b[..., None])[..., 0]
+            rel = np.abs(x - ref) / (np.abs(ref) + 1e-6)
+            assert rel.max() < bar, (k, scale, br, rel.max())
+            if scale == 1.0:
+                continue
+            # and the default path keeps full f32 accuracy on the same
+            # systems — the accuracy gap IS the finding
+            x0 = np.asarray(gj_solve_pallas_bl(
+                jnp.asarray(A.transpose(1, 2, 0)), jnp.asarray(b.T),
+                interpret=interp, block_r=0)).T
+            rel0 = np.abs(x0 - ref) / (np.abs(ref) + 1e-6)
+            assert rel0.max() < 2e-4, (k, scale, rel0.max())
