@@ -188,7 +188,18 @@ GROUP_TEMP_BYTES = 2 << 30
 
 def _row_groups(rows: int, L: int, p: int, k: int,
                 group_bytes: int = GROUP_TEMP_BYTES) -> list[tuple[int, int]]:
-    per_row = max(L * (k + 1) * 4, p * (k + 1) * (k + 1) * 4)
+    """Row-contiguous groups whose PADDED temp footprint fits the budget.
+
+    r5 fix: the budget must count TILE-PADDED bytes, not logical ones —
+    XLA lays the fused (k+1, k+1, S) gram temp out with the two k+1 dims
+    minor and pads them to the (8, 128) tile, a 3.7x expansion at k=40
+    (measured: a '2 GB' group allocated a 7.31 GB padded temp and OOM'd
+    HBM at yahoo-r1 dims once the auto bucket floor quadrupled slots per
+    group). The augmented gather temp pads k+1 -> 128 on lanes the same
+    way."""
+    kp1_l = -(-(k + 1) // 128) * 128          # lane-padded k+1
+    kp1_s = -(-(k + 1) // 8) * 8              # sublane-padded k+1
+    per_row = max(L * kp1_l * 4, p * kp1_s * kp1_l * 4)
     g = max(1, min(rows, group_bytes // max(1, per_row)))
     return [(r0, min(rows, r0 + g)) for r0 in range(0, rows, g)]
 
