@@ -30,9 +30,16 @@ screening mode, not the headline.
 the denominator is the composite speed-of-light model for the panel-hybrid
 on this chip: panels at the storage-dtype HBM pass cost (see
 panel_bytes_per_cell_per_rank) at 819 GB/s plus the ELL tail at the
-measured paired row-gather rate (~3.3 ns/row, 1 pair-gather per side per
-rank). 1.0 = the hardware roofline of this decomposition (convert passes
-unmodeled, so sub-f32 dtypes understate).
+measured pure-sweep gather wall (3.9 ns/padded-lane). 1.0 = the IDEAL
+hardware roofline of this decomposition — proven UNREACHABLE by the r4/r5
+control experiments: every residual-maintaining tail schedule costs
+6.5 ns/lane (results/tail_floor_r4.json) and a minimal RMW stream with no
+compute at all achieves only 670 of the 819 GB/s (the write-interleave
+wall, results/panel_floor_r5.json). ``detail.vs_baseline_achievable``
+carries the ratio against the ACHIEVABLE composite (678 GB/s kernel-RMW
+panels over PADDED cells + 6.5 ns/lane tail): the r5 decomposition
+(results/hybrid_decomposition_r5.json) puts the headline at ~99% of it —
+both sides of the iteration are at their measured walls.
 
 Methodology per the axon-tunnel rules: full-tensor readback fences (the only
 fence that reliably waits on this platform), GROUP-DIFFERENCE timing so the
