@@ -49,6 +49,12 @@ from cuda_recommender_tpu.solvers.als_ell import (             # noqa: E402
     GROUP_TEMP_BYTES, _gram_and_rhs, _row_groups, _solve_side)
 
 M, N, NNZ, K, LAM = 1_948_883, 98_211, 115_000_000, 40, 0.05
+if os.environ.get("CRTPU_R1_HALF"):
+    # the full-dims fori-wrapped programs break the tunnel compiler
+    # (broken pipe twice); HALF dims preserve the regime exactly — avg
+    # user degree 59, auto floor 32, same bucket structure — with half
+    # the lax.map groups per bucket
+    M, NNZ = 974_441, 57_500_000
 OUT = "results/als_r1_decompose_r5.json"
 
 
@@ -84,31 +90,36 @@ def _nosolve_side(idx_tiles, val_tiles, side, other_ext, chunk, group_bytes):
     return jnp.stack(acc)
 
 
-def time_mode(fn, state, n_group, reps=3):
+def time_mode(fn, arg, n_group, reps=3):
+    """Plain repeated-dispatch group-difference timing (the
+    yahoo_robustness pattern): fn is a separately-jitted call whose
+    RETURNED output is fenced — returned jit outputs are always fully
+    computed (tail_floor_r4 methodology), and a fori-wrapped variant of
+    these side-sized programs breaks the tunnel compiler (broken pipe at
+    serialization). Calls queue on the device stream; the fence cost
+    cancels in the group difference."""
     t0 = time.perf_counter()
-    state, tok = fn(state, 1)
-    _ = np.asarray(tok).sum()
+    out = fn(arg)
+    _ = np.asarray(out).sum()
     compile_s = time.perf_counter() - t0
-    state, tok = fn(state, 1)
-    _ = np.asarray(tok).sum()
 
-    def grp(n, state):
+    def grp(n):
         t0 = time.perf_counter()
-        state, tok = fn(state, n)
-        _ = np.asarray(tok).sum()
-        return time.perf_counter() - t0, state
+        for _ in range(n):
+            out = fn(arg)
+        _ = np.asarray(out).sum()
+        return time.perf_counter() - t0
 
+    grp(1)                                       # warm
     t1s, tgs = [], []
     for _ in range(reps):
-        d1, state = grp(1, state)
-        dg, state = grp(n_group, state)
-        t1s.append(d1)
-        tgs.append(dg)
+        t1s.append(grp(1))
+        tgs.append(grp(n_group))
     per = (float(np.median(tgs)) - float(np.median(t1s))) / (n_group - 1)
     return {"per_call_s": round(per, 3), "compile_s": round(compile_s, 1),
             "t1_samples_s": [round(x, 2) for x in t1s],
             "tg_samples_s": [round(x, 2) for x in tgs],
-            "n_group": n_group}, state
+            "n_group": n_group}
 
 
 def main():
@@ -145,37 +156,22 @@ def main():
                "buckets": [[int(b.E), int(b.idx.shape[0])]
                            for b in side.buckets]}
 
-        def run_full(st, n):
-            O_, acc = st
+        @jax.jit
+        def run_full(O_):
+            return _solve_side(idx, vals, side, extend_zero(O_),
+                               jnp.float32(LAM), nnz_slot, cfg.ell_chunk,
+                               solver="gj", group_bytes=gb)
 
-            def body(i, st):
-                O_, acc = st
-                W = _solve_side(idx, vals, side, extend_zero(
-                    O_ + acc * jnp.float32(1e-30)), jnp.float32(LAM),
-                    nnz_slot, cfg.ell_chunk, solver="gj", group_bytes=gb)
-                return (O_, W.sum())
-
-            O_, acc = jax.lax.fori_loop(0, n, body, (O_, acc))
-            return (O_, acc), O_[:65536] * (1 + acc * 1e-30)
-
-        r, _ = time_mode(jax.jit(run_full, donate_argnums=(0,)),
-                         (O, jnp.float32(0)), ngroup)
+        r = time_mode(run_full, O, ngroup)
         rec["full"] = r
         print(f"{name} full: {r}", flush=True)
 
-        def run_nosolve(st, n):
-            O_, acc = st
+        @jax.jit
+        def run_nosolve(O_):
+            return _nosolve_side(idx, vals, side, extend_zero(O_),
+                                 cfg.ell_chunk, gb)
 
-            def body(i, acc):
-                s = _nosolve_side(idx, vals, side, extend_zero(
-                    O_ + acc * jnp.float32(1e-30)), cfg.ell_chunk, gb)
-                return s.sum()
-
-            acc = jax.lax.fori_loop(0, n, body, acc)
-            return (O_, acc), O_[:65536] * (1 + acc * 1e-30)
-
-        r, _ = time_mode(jax.jit(run_nosolve, donate_argnums=(0,)),
-                         (O, jnp.float32(0)), ngroup)
+        r = time_mode(run_nosolve, O, ngroup)
         rec["nosolve"] = r
         print(f"{name} nosolve: {r}", flush=True)
 
