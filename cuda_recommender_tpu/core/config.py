@@ -117,6 +117,13 @@ class Config:
     #: rows: 1.9M slots) may need less headroom when the bucket floor
     #: shrinks (more slots per group at equal bytes).
     als_group_mb: int = 2048
+    #: gather-cliff tiling threshold (MB). Factor-row gathers run ~3.6
+    #: ns/lane while the gather table is <= ~32 MB and 12.6x slower above
+    #: ~64 MB (results/als_gather_cliff_r5.json). An ALS side whose OTHER
+    #: side's table exceeds this gathers per <= threshold-sized table tile
+    #: (solvers/als_ell.build_side_gather_tiles; p==1 buckets). 0 disables
+    #: (the pre-r5 behavior). Single-device ALS only.
+    als_gather_tile_mb: float = 32
     #: ALS gram-assembly matmul precision. "highest" = true f32 (6-pass
     #: bf16 emulation on the MXU) — the golden-grade default. "high" =
     #: 3-pass bf16x3, measured ~26% faster end-to-end at ml20M k=40 with
@@ -209,6 +216,8 @@ class Config:
             raise ValueError("als_min_width must be 'auto' or a power of two")
         if self.als_group_mb <= 0:
             raise ValueError("als_group_mb must be positive")
+        if self.als_gather_tile_mb < 0:
+            raise ValueError("als_gather_tile_mb must be >= 0 (0 disables)")
         if self.hybrid_transpose not in (False, True, "auto"):
             raise ValueError("hybrid_transpose must be False, True or "
                              f"'auto', got {self.hybrid_transpose!r}")

@@ -204,30 +204,99 @@ def _row_groups(rows: int, L: int, p: int, k: int,
     return [(r0, min(rows, r0 + g)) for r0 in range(0, rows, g)]
 
 
+class _TileShim:
+    """Bucket-geometry shim for per-tile gather arrays (always p == 1)."""
+
+    __slots__ = ("E", "p", "L")
+
+    def __init__(self, W: int):
+        self.E, self.p, self.L = W, 1, W
+
+
+def tile_bucket_np(idx: np.ndarray, val: np.ndarray, n_other_slots: int,
+                   tile_rows: int):
+    """Partition one p==1 bucket's lanes by other-side slot TILE (the r5
+    gather-cliff fix, results/als_gather_cliff_r5.json): factor-row
+    gathers run at ~3.6 ns/lane while the gather table is <= ~32 MB and
+    12.6x slower above ~64 MB, so a side whose OTHER side's table exceeds
+    the cliff gathers per <= tile_rows slice instead. Lanes pack left per
+    tile (W_t = max in-tile count over rows); original ELL pad lanes
+    (idx == n_other_slots) fall outside every tile and are DROPPED — the
+    tiled layout carries true nnz only. Returns a list of
+    (lo, hi, idx_local, val) with the local sentinel hi-lo pointing at
+    the zero row appended to the table slice."""
+    tiles = []
+    for lo in range(0, n_other_slots, tile_rows):
+        hi = min(n_other_slots, lo + tile_rows)
+        m = (idx >= lo) & (idx < hi)
+        W = int(m.sum(axis=1).max(initial=0))
+        if W == 0:
+            continue
+        order = np.argsort(~m, axis=1, kind="stable")   # in-tile lanes first
+        idx_s = np.take_along_axis(idx, order, 1)[:, :W]
+        val_s = np.take_along_axis(val, order, 1)[:, :W]
+        m_s = np.take_along_axis(m, order, 1)[:, :W]
+        tiles.append((lo, hi,
+                      np.where(m_s, idx_s - lo, hi - lo).astype(np.int32),
+                      np.where(m_s, val_s, 0.0).astype(np.float32)))
+    return tiles
+
+
 def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
                 slot_nnz, chunk: int,
                 precision=jax.lax.Precision.HIGHEST, solver: str = "gj",
                 gj_block_r: int | None = None,
-                group_bytes: int = GROUP_TEMP_BYTES):
+                group_bytes: int = GROUP_TEMP_BYTES,
+                tile_bounds: dict | None = None):
     """One ALS half-iteration over a side: x_j = (F_Ω^T F_Ω + λI)^{-1} F_Ω^T r
-    for every slot, returning (n_slots, k) new factors."""
+    for every slot, returning (n_slots, k) new factors.
+
+    ``tile_bounds``: {bucket_index: [(lo, hi), ...]} for buckets whose
+    ``idx_tiles[i]``/``val_tiles[i]`` are PER-TILE tuples from
+    tile_bucket_np — the gram/rhs accumulate over table slices
+    (gather-cliff fix); everything else (groups, lax.map serialization,
+    solve) is identical. Same sums as the classic path up to f32
+    accumulation order."""
     k = other_ext.shape[1]
     eye = jnp.eye(k, dtype=jnp.float32)
     outs = []
     for i, b in enumerate(side.buckets):
+        tiled = tile_bounds is not None and i in tile_bounds
         if solver == "gj":
             # assembly emits the kernel's batch-last layout directly, gram
             # and rhs from ONE augmented self-contraction (see _gram_and_rhs),
             # in memory-bounded row groups
             from ..ops.gj_pallas import gj_solve_pallas_bl
             interp = jax.default_backend() == "cpu"
-            rows = idx_tiles[i].shape[0]
-            groups = _row_groups(rows, b.L, b.p, k, group_bytes)
+            if tiled:
+                bounds = tile_bounds[i]
+                rows = idx_tiles[i][0].shape[0]
+                L_eff = sum(ix.shape[1] for ix in idx_tiles[i])
+                groups = _row_groups(rows, max(b.L, L_eff), 1, k,
+                                     group_bytes)
+            else:
+                rows = idx_tiles[i].shape[0]
+                groups = _row_groups(rows, b.L, b.p, k, group_bytes)
 
-            def solve_group(idxg, valg):
-                G_t, r_t = _gram_and_rhs(idxg, valg, other_ext, b, chunk,
+            def gram_group(idxg, valg):
+                if not tiled:
+                    return _gram_and_rhs(idxg, valg, other_ext, b, chunk,
                                          precision, batch_last=True,
                                          augmented=True)
+                G_t = r_t = None
+                for (lo, hi), ixt, vlt in zip(bounds, idxg, valg):
+                    tabt = jnp.concatenate(
+                        [other_ext[lo:hi], other_ext[-1:]], axis=0)
+                    Gt, rt = _gram_and_rhs(ixt, vlt, tabt,
+                                           _TileShim(ixt.shape[1]), chunk,
+                                           precision, batch_last=True,
+                                           augmented=True)
+                    G_t = Gt if G_t is None else G_t + Gt
+                    r_t = rt if r_t is None else r_t + rt
+                return G_t, r_t
+
+            def solve_group(idxg, valg):
+                G_t, r_t = gram_group(idxg, valg)
                 A_t = G_t + lam * eye[:, :, None]  # λ unscaled, ALS.cpp:121
                 return gj_solve_pallas_bl(A_t, r_t, interpret=interp,
                                           block_r=gj_block_r).T
@@ -245,15 +314,31 @@ def _solve_side(idx_tiles, val_tiles, side: EllSide, other_ext, lam,
             # last group runs separately.
             g = groups[0][1]
             nfull = rows // g
-            idxg = idx_tiles[i][:nfull * g].reshape(nfull, g, b.L)
-            valg = val_tiles[i][:nfull * g].reshape(nfull, g, b.L)
+
+            def _stack(x):      # (rows, W) -> (nfull, g, W) group prefix
+                return x[:nfull * g].reshape(nfull, g, x.shape[1])
+
+            def _tail(x):
+                return x[nfull * g:]
+
+            if tiled:
+                idxg = tuple(_stack(ix) for ix in idx_tiles[i])
+                valg = tuple(_stack(vl) for vl in val_tiles[i])
+                tail_args = (tuple(_tail(ix) for ix in idx_tiles[i]),
+                             tuple(_tail(vl) for vl in val_tiles[i]))
+            else:
+                idxg, valg = _stack(idx_tiles[i]), _stack(val_tiles[i])
+                tail_args = (_tail(idx_tiles[i]), _tail(val_tiles[i]))
             xs = jax.lax.map(lambda a: solve_group(a[0], a[1]),
                              (idxg, valg))
             outs.append(xs.reshape(nfull * g * b.p, k))
             if rows > nfull * g:
-                outs.append(solve_group(idx_tiles[i][nfull * g:],
-                                        val_tiles[i][nfull * g:]))
+                outs.append(solve_group(*tail_args))
             continue
+        if tiled:
+            raise NotImplementedError(
+                "gather-cliff tiling is implemented for the gj solver path "
+                "only (als_solver='gj'); set als_gather_tile_mb=0")
         G, r = _gram_and_rhs(idx_tiles[i], val_tiles[i], other_ext, b, chunk,
                              precision)
         A = G + lam * eye                          # λ unscaled, src/ALS.cpp:121
@@ -275,7 +360,9 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
                         precision_name: str = "highest",
                         solver: str = "gj",
                         gj_block_r: int | None = None,
-                        group_bytes: int = GROUP_TEMP_BYTES):
+                        group_bytes: int = GROUP_TEMP_BYTES,
+                        tile_bounds_r: dict | None = None,
+                        tile_bounds_c: dict | None = None):
     rows, cols = ell.rows_side, ell.cols_side
     lam_ = jnp.float32(lam)
     prec = {"highest": jax.lax.Precision.HIGHEST,
@@ -284,14 +371,42 @@ def make_als_outer_step(ell: EllPair, lam: float, chunk: int,
 
     def step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c):
         W = _solve_side(idx_r, vals_r, rows, extend_zero(H), lam_, nnz_r,
-                        chunk, prec, solver, gj_block_r, group_bytes)
+                        chunk, prec, solver, gj_block_r, group_bytes,
+                        tile_bounds_r)
         H = _solve_side(idx_c, vals_c, cols, extend_zero(W), lam_, nnz_c,
-                        chunk, prec, solver, gj_block_r, group_bytes)
+                        chunk, prec, solver, gj_block_r, group_bytes,
+                        tile_bounds_c)
         return W, H
 
     if not jit_compile:
         return step
     return jax.jit(step, donate_argnums=(4, 5))
+
+
+def build_side_gather_tiles(side: EllSide, other_n_slots: int, k: int,
+                            tile_mb: int):
+    """Gather-cliff tiling decision + construction for one side (the side
+    SOLVED FOR gathers the OTHER side's table). Returns
+    (tile_bounds or None, per-bucket arg transform): buckets with p == 1
+    whose other-side table exceeds ``tile_mb`` get per-tile index/value
+    tuples from tile_bucket_np; p > 1 (lane-packed narrow) buckets keep
+    the classic path — at the geometries where the cliff bites, they hold
+    a negligible nnz share."""
+    tile_bytes = int(tile_mb * (1 << 20))
+    if not tile_bytes or other_n_slots * k * 4 <= tile_bytes:
+        return None, None
+    tile_rows = max(1, tile_bytes // (k * 4))
+    bounds, args = {}, {}
+    for i, b in enumerate(side.buckets):
+        if b.p != 1:
+            continue
+        tiles = tile_bucket_np(b.idx, b.val, other_n_slots, tile_rows)
+        if not tiles:
+            continue
+        bounds[i] = [(lo, hi) for lo, hi, _, _ in tiles]
+        args[i] = (tuple(ix for _, _, ix, _ in tiles),
+                   tuple(vl for _, _, _, vl in tiles))
+    return (bounds or None), (args or None)
 
 
 def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
@@ -307,10 +422,27 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     rows, cols = ell.rows_side, ell.cols_side
     k = W0.shape[1]
 
-    idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
-    idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
-    vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
-    vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
+    # gather-cliff tiling (results/als_gather_cliff_r5.json): a side
+    # whose OTHER side's factor table exceeds ~the on-chip staging cliff
+    # gathers 12.6x slower; partition those buckets' lanes by table tile
+    tb_r, ta_r = build_side_gather_tiles(rows, cols.n_slots, k,
+                                         cfg.als_gather_tile_mb)
+    tb_c, ta_c = build_side_gather_tiles(cols, rows.n_slots, k,
+                                         cfg.als_gather_tile_mb)
+
+    def side_args(side, targs):
+        idx, vals = [], []
+        for i, b in enumerate(side.buckets):
+            if targs and i in targs:
+                idx.append(tuple(jnp.asarray(x) for x in targs[i][0]))
+                vals.append(tuple(jnp.asarray(x) for x in targs[i][1]))
+            else:
+                idx.append(jnp.asarray(b.idx))
+                vals.append(jnp.asarray(b.val))
+        return tuple(idx), tuple(vals)
+
+    idx_r, vals_r = side_args(rows, ta_r)
+    idx_c, vals_c = side_args(cols, ta_c)
 
     W_s = np.zeros((rows.n_slots, k), np.float32)
     W_s[rows.slot_of_entity] = np.asarray(W0, np.float32)
@@ -331,7 +463,8 @@ def als_ell_train(R: RatingMatrix, W0: np.ndarray, H0: np.ndarray,
     step_fn = make_als_outer_step(ell, cfg.lambda_, cfg.ell_chunk,
                                   precision_name=cfg.als_precision,
                                   solver=cfg.als_solver,
-                                  group_bytes=cfg.als_group_mb << 20)
+                                  group_bytes=cfg.als_group_mb << 20,
+                                  tile_bounds_r=tb_r, tile_bounds_c=tb_c)
     rmse_fn = jax.jit(functools.partial(
         calrmse_device, entity_major=True,
         chunk=default_eval_chunk(T.nnz, cfg.eval_chunk)))

@@ -224,3 +224,38 @@ def test_als_wide_bucket_not_chunk_divisible():
                                    solver="als", backend="ell"))
     assert golden_compare(W, Wr, atol=1e-3).passed
     assert golden_compare(H, Hr, atol=1e-3).passed
+
+
+def test_als_gather_tiled_matches_classic():
+    """Gather-cliff tiling (results/als_gather_cliff_r5.json): forcing a
+    tiny tile threshold partitions every p==1 bucket's lanes by other-side
+    table tile; the tiled grams must reproduce the classic path (same sums
+    up to f32 accumulation order) and match the golden reference. Needs
+    high-degree rows so the rows side has wide (p==1) buckets."""
+    from cuda_recommender_tpu.data.datasets import synthetic
+    from cuda_recommender_tpu.data.ell import build_ell_pair
+    from cuda_recommender_tpu.solvers.als_ell import (
+        als_ell_train, build_side_gather_tiles)
+    from cuda_recommender_tpu.solvers.reference import als_reference
+
+    R, T = synthetic(m=200, n=300, nnz=30_000, seed=4, test_fraction=0.05)
+    k = 6
+    W0, H0 = init_factors_np(k, R.rows, R.cols, seed=0, entity_major=True)
+    base = dict(solver="als", k=k, lambda_=0.1, maxiter=3)
+    Wc, Hc, sc = als_ell_train(R, W0.copy(), H0.copy(), T,
+                               Config(als_gather_tile_mb=0, **base))
+    # ~2 KB tiles -> many tiles over the 300-slot cols table
+    cfg_t = Config(als_gather_tile_mb=0.002, **base)
+    ell = build_ell_pair(R, min_width=cfg_t.als_min_width, num_shards=1)
+    tb, _ = build_side_gather_tiles(ell.rows_side, ell.cols_side.n_slots,
+                                    k, cfg_t.als_gather_tile_mb)
+    assert tb, "tiny threshold must trigger tiling on the rows side"
+    Wt, Ht, st = als_ell_train(R, W0.copy(), H0.copy(), T, cfg_t)
+    np.testing.assert_allclose(Wt, Wc, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(Ht, Hc, atol=5e-4, rtol=5e-4)
+    for a, c in zip(st, sc):
+        assert abs(a.rmse - c.rmse) < 1e-4
+    stats_g = als_reference(R, W0.copy(), H0.copy(), T, lambda_=0.1,
+                            maxiter=3)
+    for a, g in zip(st, stats_g):
+        assert abs(a.rmse - g.rmse) < 1e-3
