@@ -186,10 +186,26 @@ def run_als_r1() -> dict:
                                                  "2048")))
     ell = build_ell_pair(R, min_width=cfg.als_min_width, num_shards=1)
     rows, cols = ell.rows_side, ell.cols_side
-    idx_r = tuple(jnp.asarray(b.idx) for b in rows.buckets)
-    idx_c = tuple(jnp.asarray(b.idx) for b in cols.buckets)
-    vals_r = tuple(jnp.asarray(b.val) for b in rows.buckets)
-    vals_c = tuple(jnp.asarray(b.val) for b in cols.buckets)
+    # gather-cliff tiling (r5): same wire-up as als_ell_train
+    from cuda_recommender_tpu.solvers.als_ell import build_side_gather_tiles
+    tb_r, ta_r = build_side_gather_tiles(rows, cols.n_slots, k,
+                                         cfg.als_gather_tile_mb)
+    tb_c, ta_c = build_side_gather_tiles(cols, rows.n_slots, k,
+                                         cfg.als_gather_tile_mb)
+
+    def side_args(side, targs):
+        idx, vals = [], []
+        for i, b in enumerate(side.buckets):
+            if targs and i in targs:
+                idx.append(tuple(jnp.asarray(x) for x in targs[i][0]))
+                vals.append(tuple(jnp.asarray(x) for x in targs[i][1]))
+            else:
+                idx.append(jnp.asarray(b.idx))
+                vals.append(jnp.asarray(b.val))
+        return tuple(idx), tuple(vals)
+
+    idx_r, vals_r = side_args(rows, ta_r)
+    idx_c, vals_c = side_args(cols, ta_c)
     W0, H0 = init_factors_np(k, m, n, seed=0, entity_major=True)
     W_s = np.zeros((rows.n_slots, k), np.float32)
     W_s[rows.slot_of_entity] = W0
@@ -200,7 +216,8 @@ def run_als_r1() -> dict:
     nnz_c = jnp.asarray(cols.slot_nnz)
     step = make_als_outer_step(ell, lam, cfg.ell_chunk,
                                precision_name="highest", solver="gj",
-                               group_bytes=cfg.als_group_mb << 20)
+                               group_bytes=cfg.als_group_mb << 20,
+                               tile_bounds_r=tb_r, tile_bounds_c=tb_c)
     t0 = time.perf_counter()
     W, H = step(idx_r, idx_c, vals_r, vals_c, W, H, nnz_r, nnz_c)
     _ = np.asarray(W).sum()
@@ -233,6 +250,11 @@ def run_als_r1() -> dict:
         "resolved_floors": {"rows": min(b.E for b in rows.buckets),
                             "cols": min(b.E for b in cols.buckets)},
         "als_group_mb": cfg.als_group_mb,
+        "gather_tiling": {"tile_mb": cfg.als_gather_tile_mb,
+                          "rows_side_tiled_buckets":
+                              (len(tb_r) if tb_r else 0),
+                          "cols_side_tiled_buckets":
+                              (len(tb_c) if tb_c else 0)},
         "pad_factor_vs_nnz": round(lanes / (2 * R.nnz), 3),
         "lanes_padded": int(lanes),
         "compile_s": round(compile_s, 1),
