@@ -109,6 +109,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "ITEMS x user prefixes (the transposed matrix), "
                         "'auto' geometry-plans both and keeps the smaller "
                         "uncovered tail (single-device hybrid only)")
+    p.add_argument("--als-min-width", default=None, metavar="W|auto",
+                   dest="als_min_width",
+                   help="ALS ELL bucket width floor: integer or 'auto' for "
+                        "the degree-adaptive floor (default "
+                        "Config.als_min_width)")
+    p.add_argument("--als-group-mb", type=int, default=None, metavar="MB",
+                   dest="als_group_mb",
+                   help="per-group HBM temp budget for the grouped ALS "
+                        "gram assembly (counts tile-padded temp bytes)")
+    p.add_argument("--als-gather-tile-mb", type=float, default=None,
+                   metavar="MB", dest="als_gather_tile_mb",
+                   help="gather-cliff tiling threshold: an ALS side whose "
+                        "other side's factor table exceeds this gathers "
+                        "per table tile (0 disables; default "
+                        "Config.als_gather_tile_mb)")
     p.add_argument("--defer-group", type=int, default=None, metavar="G",
                    help="hybrid ELL-tail rank-deferral group (0 disables; "
                         "default Config.hybrid_defer_group; single-device "
@@ -173,6 +188,13 @@ def main(argv=None) -> int:
     if args.transpose_stair is not None:
         cfg.hybrid_transpose = ("auto" if args.transpose_stair == "auto"
                                 else bool(int(args.transpose_stair)))
+    if args.als_min_width is not None:
+        cfg.als_min_width = ("auto" if args.als_min_width == "auto"
+                             else int(args.als_min_width))
+    if args.als_group_mb is not None:
+        cfg.als_group_mb = int(args.als_group_mb)
+    if args.als_gather_tile_mb is not None:
+        cfg.als_gather_tile_mb = float(args.als_gather_tile_mb)
     if args.panel_widths is not None:
         cfg.hybrid_panel_widths = (
             "auto" if args.panel_widths == "auto" else

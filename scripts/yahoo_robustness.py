@@ -172,8 +172,14 @@ def run_hybrid(tag: str, transpose: bool = False) -> dict:
     }
 
 
-def run_als_r1() -> dict:
-    m, n, nnz, _ = SPECS["r1"]
+def run_als(tag: str = "r1") -> dict:
+    # r5: generalized beyond r1 — als_c15 closes the last unmeasured cell of
+    # the reference's six-geometry x two-solver grid
+    # (/root/reference/scripts/times.sh:41-66 sweeps ALS on yahooc15 too).
+    # At c15 dims BOTH factor tables (1.0M and 625k entities x k=40 f32 =
+    # 160 / 100 MB) exceed the ~32-64 MB gather cliff
+    # (results/als_gather_cliff_r5.json), so both sides gather tiled.
+    m, n, nnz, _ = SPECS[tag]
     k, lam = 40 if not CPU else 8, 0.05
     R, T = synthetic_cached(m, n, nnz, seed=11, test_fraction=0.02)
     from cuda_recommender_tpu.data.ell import build_ell_pair
@@ -243,7 +249,7 @@ def run_als_r1() -> dict:
     lanes = (sum(b.idx.size for b in rows.buckets)
              + sum(b.idx.size for b in cols.buckets))
     return {
-        "workload": f"ALS yahoor1-dims synthetic zipf ({m}x{n}, "
+        "workload": f"ALS yahoo{tag}-dims synthetic zipf ({m}x{n}, "
                     f"nnz={R.nnz}), k={k}, GJ solve, precision HIGHEST",
         "min_width": ("auto" if cfg.als_min_width == "auto"
                       else int(cfg.als_min_width)),
@@ -271,7 +277,8 @@ def main():
             "c15": lambda: run_hybrid("c15"),
             "c15_t": lambda: run_hybrid("c15", transpose=True),
             "r1_t": lambda: run_hybrid("r1", transpose=True),
-            "als_r1": run_als_r1}
+            "als_r1": lambda: run_als("r1"),
+            "als_c15": lambda: run_als("c15")}
     names = (["r1", "c15", "als_r1"] if which == "all" else
              which.split(","))
     for name in names:

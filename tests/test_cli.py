@@ -42,6 +42,24 @@ def test_train_cli_als_save_model(tmp_path, capsys, monkeypatch):
     assert (tmp_path / "model").exists()
 
 
+def test_train_cli_als_r5_knobs(capsys):
+    """The round-5 ALS knobs (degree-adaptive bucket floor, group budget,
+    gather-cliff tiling threshold) are reachable from the user-facing CLI,
+    including the tiling-disabled (pre-r5) configuration."""
+    rc = cli_train.main(["--dataset", "synthetic:m=150,n=60,nnz=3000",
+                         "-ALS", "-k", "4", "-t", "2",
+                         "--als-min-width", "32",
+                         "--als-group-mb", "512",
+                         "--als-gather-tile-mb", "0"])
+    assert rc == 0
+    assert "Picked Version: ALS!" in capsys.readouterr().out
+    rc = cli_train.main(["--dataset", "synthetic:m=150,n=60,nnz=3000",
+                         "-ALS", "-k", "4", "-t", "1",
+                         "--als-min-width", "auto",
+                         "--als-gather-tile-mb", "0.0001"])
+    assert rc == 0
+
+
 def test_convert_then_train_then_predict(tmp_path, capsys):
     rng = np.random.default_rng(0)
     lines = []
