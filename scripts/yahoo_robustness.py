@@ -189,7 +189,9 @@ def run_als(tag: str = "r1") -> dict:
     # als_group_mb override via env for headroom experiments
     cfg = Config(solver="als", k=k, lambda_=lam,
                  als_group_mb=int(os.environ.get("CRTPU_ALS_GROUP_MB",
-                                                 "2048")))
+                                                 "2048")),
+                 als_gather_tile_mb=float(
+                     os.environ.get("CRTPU_ALS_TILE_MB", "32")))
     ell = build_ell_pair(R, min_width=cfg.als_min_width, num_shards=1)
     rows, cols = ell.rows_side, ell.cols_side
     # gather-cliff tiling (r5): same wire-up as als_ell_train
